@@ -1,0 +1,11 @@
+"""Test fixture: force a virtual 8-device CPU platform so sharding /
+collective paths run without TPU hardware (the JAX-native 'multi-node
+without a cluster' fixture — SURVEY.md section 4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
