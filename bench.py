@@ -1,0 +1,74 @@
+"""Benchmark: 256px GAN training throughput (images/sec/chip).
+
+Runs the FULL flagship train step — 9-block ngf-64 generator forward+backward,
+both discriminators with pool replay, L1+VGG(relu1_2) perceptual loss, three
+Adam updates — at 256x256 on the available device(s), and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+north-star target is >5x a PyTorch V100 per-chip baseline.  Until a measured
+V100 number exists we report vs_baseline against a documented estimate of
+the reference's per-V100 throughput for this workload (see ESTIMATED_*
+below), so the ratio is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated reference throughput: PyTorch 1.4 + APEX O1 on one V100 for the
+# same step (G 71M params + 2 D + VGG percep at 256px).  No published number
+# exists (BASELINE.md); this anchor makes vs_baseline a stable cross-round
+# ratio, to be replaced by a measured value if one becomes available.
+ESTIMATED_REFERENCE_IMG_PER_SEC_V100 = 20.0
+
+
+def main():
+    from mmhand_tpu.config import Config
+    from mmhand_tpu.train import MMHandSystem, make_train_step
+
+    cfg = Config()  # flagship: 256px, ngf64, 9 blocks, pool 50
+    batch = 8
+
+    system = MMHandSystem(cfg)
+    state = system.init_state(jax.random.PRNGKey(0), local_batch_size=batch)
+    vgg = system.make_l1_loss(None).init_vgg(
+        jax.random.PRNGKey(1), (1, 256, 256, 3))
+    l1 = system.make_l1_loss(vgg)
+    step = jax.jit(make_train_step(system, l1), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    data = {k: jnp.asarray(
+        rng.uniform(-1, 1, (batch, 256, 256, c)).astype(np.float32))
+        for k, c in [("H1", 3), ("H2", 3), ("D1", 3), ("D2", 3),
+                     ("P1", 21), ("P2", 21)]}
+
+    # warmup / compile
+    state, metrics = step(state, data, 2e-4)
+    jax.block_until_ready(metrics)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data, 2e-4)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    n_chips = 1  # single-chip bench (state/step are single-device here)
+    img_per_sec_per_chip = batch * iters / dt / n_chips
+    print(json.dumps({
+        "metric": "gan_train_images_per_sec_per_chip_256px",
+        "value": round(img_per_sec_per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(
+            img_per_sec_per_chip / ESTIMATED_REFERENCE_IMG_PER_SEC_V100, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""3-stream pose-attention generator (PATN variant).
+
+Reimplements the reference architecture (reference models/Generator.py:8-313)
+TPU-first: NHWC, bf16 compute, flax.linen.  Structure:
+
+* three downsample stems — image (3 ch), pose (42 ch = src+tgt 21-kp
+  heatmaps), depth (6 ch = src+tgt depth-RGB): ReflectPad3+Conv7 then
+  `n_downsampling` stride-2 Conv3 doublings (reference :158-223);
+* 9 PATBlocks at ngf*4 channels (n_blocks hardcoded at reference
+  MMHandModel.py:156);
+* image-stream upsampling: 2x ConvTranspose doublings then
+  ReflectPad3+Conv7+tanh (reference :240-259).
+
+PATBlock (reference :8-130): three conv blocks; pose and depth streams emit
+sigmoid attention maps; `x1_out = x1_out * att_pose * att_depth`, residual
+add; pose/depth streams receive feedback `cat(att_logits, out)` — hence the
+`dim*2`-wide convs in blocks 1..8 (`cated_stream2`).
+
+Deliberately-preserved reference quirk: PATBlock returns
+`(out, x3_cat, x2_cat, x1_out)` and the block loop unpacks
+`x1, x2, x3, _` (reference :130,277-278) — so the pose and depth streams
+**swap every block**.  This is part of the trained architecture; we keep it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmhand_tpu.models.layers import (
+    ConvNormRelu,
+    Norm,
+    NormConfig,
+    PadConv,
+    UpConv,
+)
+
+Dtype = Any
+
+
+class _AttConvBlock(nn.Module):
+    """One PATBlock stream: pad->conv->norm->relu->[dropout]->pad->conv[->norm].
+
+    cal_att=True (pose/depth streams) ends with a conv projecting to `dim`
+    and NO trailing norm (the sigmoid attention head, reference
+    Generator.py:90-106); cal_att=False (image stream) ends conv->norm
+    (reference :107-111).
+    """
+
+    dim: int
+    cated: bool
+    cal_att: bool
+    norm: NormConfig
+    use_dropout: bool
+    pad_mode: str = "reflect"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        width = self.dim * 2 if (self.cated and self.cal_att) else self.dim
+        x = ConvNormRelu(width, 3, self.norm, stride=1, pad=1,
+                         pad_mode=self.pad_mode, dtype=self.dtype)(x, train)
+        if self.use_dropout:
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = PadConv(self.dim, 3, 1, pad=1, pad_mode=self.pad_mode,
+                    use_bias=self.norm.use_bias, dtype=self.dtype)(x)
+        if not self.cal_att:
+            x = Norm(self.norm, dtype=self.dtype)(x, train)
+        return x
+
+
+class PATBlock(nn.Module):
+    """Pose-attention block (reference models/Generator.py:8-130)."""
+
+    dim: int
+    cated_stream2: bool
+    norm: NormConfig
+    use_dropout: bool
+    pad_mode: str = "reflect"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, train: bool = True):
+        x1_out = _AttConvBlock(self.dim, cated=False, cal_att=False,
+                               norm=self.norm, use_dropout=self.use_dropout,
+                               pad_mode=self.pad_mode, dtype=self.dtype,
+                               name="stream1")(x1, train)
+        x2_out = _AttConvBlock(self.dim, cated=self.cated_stream2,
+                               cal_att=True, norm=self.norm,
+                               use_dropout=self.use_dropout,
+                               pad_mode=self.pad_mode, dtype=self.dtype,
+                               name="stream2")(x2, train)
+        x3_out = _AttConvBlock(self.dim, cated=self.cated_stream2,
+                               cal_att=True, norm=self.norm,
+                               use_dropout=self.use_dropout,
+                               pad_mode=self.pad_mode, dtype=self.dtype,
+                               name="stream3")(x3, train)
+
+        att_pose = nn.sigmoid(x2_out)
+        att_depth = nn.sigmoid(x3_out)
+        x1_att = x1_out * att_pose * att_depth
+        out = x1 + x1_att  # residual (reference :125)
+
+        # feedback: streams get cat(att_logits, out); NOTE the x2/x3 swap at
+        # the caller (reference :130 returns x3 before x2; :277-278 unpacks
+        # in x2, x3 order) — reproduced by returning (out, x3_cat, x2_cat).
+        x2_cat = jnp.concatenate([x2_out, out], axis=-1)
+        x3_cat = jnp.concatenate([x3_out, out], axis=-1)
+        return out, x3_cat, x2_cat
+
+
+class Generator(nn.Module):
+    """PATN 3-stream generator (reference models/Generator.py:133-313).
+
+    Input: tuple (image NHWC[3], pose NHWC[42], depth NHWC[6]) in [-1, 1].
+    Output: NHWC[output_nc] tanh image in [-1, 1], dtype float32.
+    """
+
+    input_nc: Sequence[int] = (3, 42, 6)
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    n_downsampling: int = 2
+    norm: NormConfig = NormConfig()
+    use_dropout: bool = True
+    pad_mode: str = "reflect"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x1, x2, x3 = inputs
+        x1 = x1.astype(self.dtype)
+        x2 = x2.astype(self.dtype)
+        x3 = x3.astype(self.dtype)
+
+        # --- downsample stems (reference :158-223)
+        def stem(x, name):
+            x = ConvNormRelu(self.ngf, 7, self.norm, pad=3,
+                             pad_mode="reflect", dtype=self.dtype,
+                             name=f"{name}_in")(x, train)
+            for i in range(self.n_downsampling):
+                mult = 2 ** i
+                x = ConvNormRelu(self.ngf * mult * 2, 3, self.norm, stride=2,
+                                 pad=1, zero_pad_in_conv=True,
+                                 dtype=self.dtype,
+                                 name=f"{name}_down{i}")(x, train)
+            return x
+
+        x1 = stem(x1, "stream1")
+        x2 = stem(x2, "stream2")
+        x3 = stem(x3, "stream3")
+
+        # --- attention blocks (reference :226-237; n_blocks=9 hardcoded at
+        # MMHandModel.py:156; cated_stream2 False only for block 0)
+        dim = self.ngf * (2 ** self.n_downsampling)
+        for i in range(self.n_blocks):
+            x1, x2, x3 = PATBlock(dim, cated_stream2=(i != 0),
+                                  norm=self.norm,
+                                  use_dropout=self.use_dropout,
+                                  pad_mode=self.pad_mode, dtype=self.dtype,
+                                  name=f"att{i}")(x1, x2, x3, train)
+
+        # --- upsample image stream (reference :240-259)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            x1 = UpConv(self.ngf * mult // 2, use_bias=self.norm.use_bias,
+                        dtype=self.dtype, name=f"up{i}")(x1)
+            x1 = Norm(self.norm, dtype=self.dtype, name=f"up{i}_norm")(
+                x1, train)
+            x1 = nn.relu(x1)
+
+        # final conv has default bias=True (reference :257 has no bias kwarg)
+        x1 = PadConv(self.output_nc, 7, pad=3, pad_mode="reflect",
+                     use_bias=True, dtype=self.dtype, name="out_conv")(x1)
+        return jnp.tanh(x1).astype(jnp.float32)

@@ -1,0 +1,207 @@
+"""Shared layer primitives for the model zoo.
+
+TPU-first conventions:
+* NHWC activations (XLA's preferred conv layout on TPU).
+* bfloat16 compute with float32 parameters (`dtype` / `param_dtype`),
+  replacing APEX amp O1 (reference models/MMHandModel.py:99-108) — bf16
+  needs no loss scaling.
+* Cross-replica BatchNorm via `axis_name`: batch statistics are psum'd over
+  the data mesh axis, the TPU equivalent of APEX `convert_syncbn_model`
+  (reference models/MMHandModel.py:109-116).  This is the *correct* sync-BN
+  (mean of moments, not mean-of-means) because flax reduces sums of x and
+  x^2 across the axis.
+
+Weight init matches the reference (reference models/network_utils.py:12-71):
+conv/linear kernels ~ N(0, 0.02); norm scale ~ N(1, 0.02), bias 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# N(0, 0.02) kernel init (reference network_utils.py:12-20 weights_init_normal)
+conv_init = nn.initializers.normal(stddev=0.02)
+# N(1, 0.02) norm scale init (reference network_utils.py:18-19)
+def norm_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * nn.initializers.normal(stddev=1.0)(key, shape, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class NormConfig:
+    """Normalization factory config (reference network_utils.py:74-84
+    get_norm_layer): 'batch' (affine) or 'instance' (no affine).
+
+    `axis_name` enables cross-replica statistics when the module runs under
+    shard_map/pmap with that named axis (sync-BN equivalent).
+    """
+
+    kind: str = "batch"
+    axis_name: Optional[str] = None
+
+    @property
+    def use_bias(self) -> bool:
+        """Torch convs skip bias before affine BatchNorm; keep bias with
+        InstanceNorm (reference models/Generator.py:152-155)."""
+        return self.kind == "instance"
+
+
+class Norm(nn.Module):
+    """Norm layer chosen by NormConfig; torch-parity constants
+    (BatchNorm2d: eps 1e-5, momentum 0.1 -> flax momentum 0.9)."""
+
+    cfg: NormConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.cfg.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                scale_init=norm_scale_init,
+                axis_name=self.cfg.axis_name,
+            )(x)
+        if self.cfg.kind == "instance":
+            # InstanceNorm2d(affine=False): per-sample per-channel over H,W
+            return nn.GroupNorm(
+                num_groups=None,
+                group_size=1,
+                epsilon=1e-5,
+                use_bias=False,
+                use_scale=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        if self.cfg.kind == "none":
+            return x
+        raise NotImplementedError(f"norm [{self.cfg.kind}] not found")
+
+
+def pad2d(x, pad: int, mode: str = "reflect"):
+    """Spatial padding of NHWC tensors (reference uses nn.ReflectionPad2d /
+    ReplicationPad2d ahead of VALID convs)."""
+    if pad == 0:
+        return x
+    widths = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    if mode == "reflect":
+        return jnp.pad(x, widths, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, widths, mode="edge")
+    if mode == "zero":
+        return jnp.pad(x, widths, mode="constant")
+    raise NotImplementedError(f"padding [{mode}] is not implemented")
+
+
+class PadConv(nn.Module):
+    """pad(k//2 or explicit) -> Conv(VALID). The reference's
+    ReflectionPad2d + Conv2d(padding=0) pattern."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    pad_mode: str = "reflect"
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = pad2d(x, self.pad, self.pad_mode)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class StridedConv(nn.Module):
+    """Conv with torch-style symmetric zero padding (padding=1, k=3, s=2
+    downsampling convs of the reference stems)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            use_bias=self.use_bias,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class UpConv(nn.Module):
+    """2x upsampling, replacing torch ConvTranspose2d(k=3, s=2, p=1, op=1)
+    (reference models/Generator.py:243-253).
+
+    Implemented as ConvTranspose SAME/stride-2, which produces the same 2x
+    output geometry.  (Weight layouts differ from torch; we port behavior,
+    not tensors.)
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features,
+            (3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvNormRelu(nn.Module):
+    """pad -> conv -> norm -> relu block used throughout stems."""
+
+    features: int
+    kernel: int
+    norm: NormConfig
+    stride: int = 1
+    pad: int = 0
+    pad_mode: str = "reflect"
+    zero_pad_in_conv: bool = False  # torch-style conv padding instead of pre-pad
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.zero_pad_in_conv:
+            x = StridedConv(self.features, self.kernel, self.stride,
+                            padding=self.pad, use_bias=self.norm.use_bias,
+                            dtype=self.dtype)(x)
+        else:
+            x = PadConv(self.features, self.kernel, self.stride, self.pad,
+                        self.pad_mode, use_bias=self.norm.use_bias,
+                        dtype=self.dtype)(x)
+        x = Norm(self.norm, dtype=self.dtype)(x, train)
+        return nn.relu(x)

@@ -1,0 +1,84 @@
+"""Data-parallel train step via shard_map.
+
+TPU-native replacement for the reference's APEX DDP + NCCL stack
+(reference models/MMHandModel.py:99-116):
+
+* batch sharded over the `data` mesh axis; params/optimizer state replicated;
+* gradients `pmean`'d inside the step (XLA schedules the collectives after
+  backward — the `delay_allreduce=True` behavior for free);
+* BatchNorm batch statistics psum'd cross-replica via the same axis name
+  (`convert_syncbn_model` equivalent, mean-of-moments not mean-of-means);
+* image pools are PER-REPLICA, exactly like the reference's per-rank
+  ImagePool instances — in the global state they carry a leading device
+  axis sharded over `data`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mmhand_tpu.train.state import MMHandSystem, MMHandTrainState
+from mmhand_tpu.train.step import make_train_step
+
+
+def replicate_state_for_mesh(state: MMHandTrainState, mesh: Mesh
+                             ) -> MMHandTrainState:
+    """Add the leading per-device axis to the pool buffers (everything else
+    stays replicated)."""
+    n = mesh.devices.size
+    stack = lambda x: jnp.broadcast_to(x[None], (n, *x.shape))
+    return state.replace(
+        pool_pb=jax.tree.map(stack, state.pool_pb),
+        pool_pp=jax.tree.map(stack, state.pool_pp),
+    )
+
+
+def _state_specs(axis: str) -> MMHandTrainState:
+    """PartitionSpec tree for the (pool-stacked) global state."""
+    spec = MMHandTrainState(
+        step=P(), g=P(), d_pb=P(), d_pp=P(),
+        opt_g=P(), opt_d_pb=P(), opt_d_pp=P(),
+        pool_pb=P(axis), pool_pp=P(axis), rng=P())
+    return spec
+
+
+def make_sharded_train_step(system: MMHandSystem, l1_loss, mesh: Mesh):
+    """Build the jitted, shard_map'd step.
+
+    `system` must have been constructed with axis_name matching the mesh
+    axis (so BatchNorm syncs).  Returns step(state, batch, lr) operating on
+    a pool-stacked state (see replicate_state_for_mesh) and a GLOBAL batch
+    (leading dim = global batch size, divisible by mesh size).
+    """
+    axis = system.axis_name
+    assert axis is not None, "system must be built with axis_name for DP"
+    core = make_train_step(system, l1_loss)
+
+    def local_step(state, batch, lr):
+        # strip the (local size 1) device axis off the pools
+        s = state.replace(
+            pool_pb=jax.tree.map(lambda x: x[0], state.pool_pb),
+            pool_pp=jax.tree.map(lambda x: x[0], state.pool_pp))
+        s, metrics = core(s, batch, lr)
+        s = s.replace(
+            pool_pb=jax.tree.map(lambda x: x[None], s.pool_pb),
+            pool_pp=jax.tree.map(lambda x: x[None], s.pool_pp))
+        return s, metrics
+
+    specs = _state_specs(axis)
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(specs, P(axis), P()),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)  # noqa: E501  (jax.shard_map new-style API)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch sharded over the mesh's data axis."""
+    sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

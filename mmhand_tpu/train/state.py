@@ -1,0 +1,133 @@
+"""Train state + system container for the MM-Hand GAN.
+
+The reference trainer (reference models/MMHandModel.py:26-384) holds three
+networks, three Adam optimizers, two image pools and loss modules as python
+object state.  Here everything device-side lives in ONE functional pytree
+(`MMHandTrainState`) threaded through a jitted step, and everything static
+(module definitions, loss callables, config) lives in `MMHandSystem`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mmhand_tpu.config import Config
+from mmhand_tpu.losses.perceptual import L1PlusPerceptual
+from mmhand_tpu.models.discriminator import Discriminator
+from mmhand_tpu.models.generator import Generator
+from mmhand_tpu.models.layers import NormConfig
+from mmhand_tpu.train.pool import PoolState, pool_init
+
+
+class NetState(NamedTuple):
+    params: Any
+    batch_stats: Any
+
+
+class MMHandTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g: NetState
+    d_pb: NetState
+    d_pp: NetState
+    opt_g: Any
+    opt_d_pb: Any
+    opt_d_pp: Any
+    pool_pb: PoolState
+    pool_pp: PoolState
+    rng: jnp.ndarray
+
+
+def make_optimizer(beta1: float, beta2: float):
+    """Adam with torch-parity hyperparameters (lr applied dynamically in the
+    step so the per-epoch schedule needs no re-jit; reference uses three
+    torch.optim.Adam at lr 2e-4, betas (.5, .999) — MMHandModel.py:90-98)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8),
+        optax.scale(-1.0),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MMHandSystem:
+    """Static (non-pytree) bundle: modules, optimizer, losses, config.
+
+    `axis_name` names the data mesh axis when the step runs under
+    shard_map; None for single-device jit.  BatchNorm picks it up for
+    cross-replica statistics (sync-BN equivalent).
+    """
+
+    config: Config
+    axis_name: Optional[str] = None
+
+    def __post_init__(self):
+        m = self.config.model
+        norm = NormConfig(kind=m.norm, axis_name=self.axis_name)
+        dtype = jnp.bfloat16 if (
+            self.config.precision.compute_dtype == "bfloat16") else jnp.float32
+        object.__setattr__(self, "generator", Generator(
+            input_nc=m.g_input_nc, output_nc=m.output_nc, ngf=m.ngf,
+            n_blocks=m.g_n_blocks, n_downsampling=m.g_n_downsampling,
+            norm=norm, use_dropout=m.use_dropout_g,
+            pad_mode=m.padding_type, dtype=dtype))
+        disc = lambda: Discriminator(
+            ndf=m.ndf, n_blocks=m.n_layers_d,
+            n_downsampling=m.d_n_downsampling, norm=norm,
+            use_dropout=m.use_dropout_d, pad_mode=m.padding_type, dtype=dtype)
+        object.__setattr__(self, "d_pb", disc())
+        object.__setattr__(self, "d_pp", disc())
+        object.__setattr__(self, "tx", make_optimizer(
+            self.config.optim.beta1, self.config.optim.beta2))
+
+    def make_l1_loss(self, vgg_variables):
+        lc = self.config.loss
+        if lc.l1_type == "origin":
+            return None  # plain L1 handled inline in the step
+        return L1PlusPerceptual(
+            lambda_l1=lc.lambda_a, lambda_perceptual=lc.lambda_b,
+            perceptual_layers=lc.perceptual_layers,
+            percep_is_l1=lc.percep_is_l1, vgg_variables=vgg_variables)
+
+    def init_state(self, rng, local_batch_size: Optional[int] = None
+                   ) -> MMHandTrainState:
+        """Initialize all network/optimizer/pool state.
+
+        `local_batch_size` sizes the dummy init batch (shapes only).
+        """
+        m = self.config.model
+        size = m.fine_size
+        b = local_batch_size or 1
+        k_g, k_pb, k_pp, k_drop, k_state = jax.random.split(rng, 5)
+
+        g_in = (jnp.zeros((b, size, size, m.h_input_nc)),
+                jnp.zeros((b, size, size, 2 * m.p_input_nc)),
+                jnp.zeros((b, size, size, 2 * m.d_input_nc)))
+        g_vars = self.generator.init(
+            {"params": k_g, "dropout": k_drop}, g_in, train=False)
+        d_pb_vars = self.d_pb.init(
+            {"params": k_pb},
+            jnp.zeros((b, size, size, m.d_pb_input_nc)), train=False)
+        d_pp_vars = self.d_pp.init(
+            {"params": k_pp},
+            jnp.zeros((b, size, size, m.d_pp_input_nc)), train=False)
+
+        g = NetState(g_vars["params"], g_vars.get("batch_stats", {}))
+        d_pb = NetState(d_pb_vars["params"], d_pb_vars.get("batch_stats", {}))
+        d_pp = NetState(d_pp_vars["params"], d_pp_vars.get("batch_stats", {}))
+
+        pool = self.config.optim.pool_size
+        return MMHandTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g=g, d_pb=d_pb, d_pp=d_pp,
+            opt_g=self.tx.init(g.params),
+            opt_d_pb=self.tx.init(d_pb.params),
+            opt_d_pp=self.tx.init(d_pp.params),
+            pool_pb=pool_init(pool, (size, size, m.d_pb_input_nc)),
+            pool_pp=pool_init(pool, (size, size, m.d_pp_input_nc)),
+            rng=k_state,
+        )

@@ -1,6 +1,11 @@
 """Test fixture: force a virtual 8-device CPU platform so sharding /
 collective paths run without TPU hardware (the JAX-native 'multi-node
-without a cluster' fixture — SURVEY.md section 4)."""
+without a cluster' fixture — SURVEY.md section 4).
+
+NOTE: in this environment the axon TPU plugin ignores JAX_PLATFORMS /
+XLA_FLAGS env vars, so the jax.config API is the reliable mechanism; it
+must run before any backend initialization.
+"""
 
 import os
 
@@ -9,3 +14,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

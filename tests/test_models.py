@@ -1,0 +1,111 @@
+"""Model-zoo parity tests: parameter counts match the reference torch models
+exactly (goldens measured from the reference architecture), shapes/dtypes
+are TPU-native NHWC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmhand_tpu.models import Discriminator, Generator, NormConfig
+
+# Golden parameter counts measured from the reference torch models
+# (models/Generator.py, models/Discriminator.py with batch norm, defaults:
+# G([3,42,6], ngf=64, 9 blocks), D(24ch)/D(6ch) with ndf=64, 3 blocks).
+G_PARAMS = 71_272_835
+D_PB_PARAMS = 3_986_816
+D_PP_PARAMS = 3_930_368
+
+
+def _count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def rngs():
+    k = jax.random.PRNGKey(0)
+    return {"params": k, "dropout": jax.random.fold_in(k, 1)}
+
+
+class TestGenerator:
+    def test_param_count_parity(self, rngs):
+        g = Generator()
+        x = (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 42)),
+             jnp.zeros((1, 64, 64, 6)))
+        variables = g.init(rngs, x, train=False)
+        assert _count(variables["params"]) == G_PARAMS
+
+    def test_forward_shape_and_range(self, rngs):
+        g = Generator(ngf=16, n_blocks=2)
+        x = (jnp.ones((2, 64, 64, 3)), jnp.ones((2, 64, 64, 42)),
+             jnp.ones((2, 64, 64, 6)))
+        variables = g.init(rngs, x, train=False)
+        out = g.apply(variables, x, train=False)
+        assert out.shape == (2, 64, 64, 3)
+        assert out.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(out))) <= 1.0  # tanh output
+
+    def test_train_mode_updates_batch_stats(self, rngs):
+        g = Generator(ngf=8, n_blocks=1)
+        x = (jnp.ones((2, 32, 32, 3)), jnp.ones((2, 32, 32, 42)),
+             jnp.ones((2, 32, 32, 6)))
+        variables = g.init(rngs, x, train=False)
+        _, new_vars = g.apply(variables, x, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": rngs["dropout"]})
+        old = jax.tree.leaves(variables["batch_stats"])
+        new = jax.tree.leaves(new_vars["batch_stats"])
+        assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+    def test_instance_norm_variant(self, rngs):
+        g = Generator(ngf=8, n_blocks=1, norm=NormConfig(kind="instance"))
+        x = (jnp.ones((1, 32, 32, 3)), jnp.ones((1, 32, 32, 42)),
+             jnp.ones((1, 32, 32, 6)))
+        variables = g.init(rngs, x, train=False)
+        assert "batch_stats" not in variables
+        out = g.apply(variables, x, train=False)
+        assert out.shape == (1, 32, 32, 3)
+
+
+class TestDiscriminator:
+    def test_param_count_parity_pb(self, rngs):
+        d = Discriminator()
+        v = d.init({"params": rngs["params"]},
+                   jnp.zeros((1, 64, 64, 24)), train=False)
+        assert _count(v["params"]) == D_PB_PARAMS
+
+    def test_param_count_parity_pp(self, rngs):
+        d = Discriminator()
+        v = d.init({"params": rngs["params"]},
+                   jnp.zeros((1, 64, 64, 6)), train=False)
+        assert _count(v["params"]) == D_PP_PARAMS
+
+    def test_feature_map_logits_no_projection(self, rngs):
+        """The reference D has NO final 1-channel head: output is the full
+        ndf*4 feature map (reference Discriminator.py:135-151)."""
+        d = Discriminator(ndf=16)
+        v = d.init({"params": rngs["params"]},
+                   jnp.zeros((2, 64, 64, 6)), train=False)
+        out = d.apply(v, jnp.zeros((2, 64, 64, 6)), train=False)
+        assert out.shape == (2, 16, 16, 64)  # H/4, W/4, ndf*4
+
+    def test_three_downsample_special_case(self, rngs):
+        d = Discriminator(ndf=16, n_downsampling=3)
+        v = d.init({"params": rngs["params"]},
+                   jnp.zeros((1, 64, 64, 6)), train=False)
+        out = d.apply(v, jnp.zeros((1, 64, 64, 6)), train=False)
+        assert out.shape == (1, 8, 8, 64)  # H/8, width stays ndf*4
+
+
+class TestWeightInit:
+    def test_conv_kernels_are_n002(self, rngs):
+        g = Generator(ngf=64, n_blocks=1)
+        x = (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 42)),
+             jnp.zeros((1, 32, 32, 6)))
+        variables = g.init(rngs, x, train=False)
+        kernels = [p for path, p in
+                   jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+                   if "kernel" in str(path)]
+        big = np.concatenate([np.ravel(k) for k in kernels if k.size > 1000])
+        assert abs(float(big.std()) - 0.02) < 0.002
+        assert abs(float(big.mean())) < 0.001

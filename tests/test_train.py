@@ -1,0 +1,211 @@
+"""Train-engine tests: image pool semantics, step schedule, LR schedule,
+and the full jitted step (single-device and 8-way sharded)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmhand_tpu.config import Config, ModelConfig, OptimConfig
+from mmhand_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate_state_for_mesh,
+    shard_batch,
+)
+from mmhand_tpu.train import (
+    MMHandSystem,
+    lr_for_epoch,
+    make_train_step,
+    pool_init,
+    pool_query,
+)
+
+
+class TestImagePool:
+    def test_fill_phase_passthrough(self):
+        """While filling, images are stored and returned unchanged
+        (reference util/image_pool.py:20-23)."""
+        pool = pool_init(8, (2, 2, 1))
+        batch = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1, 1) * jnp.ones(
+            (4, 2, 2, 1))
+        new_pool, out = pool_query(pool, batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(out, batch)
+        assert int(new_pool.num) == 4
+        np.testing.assert_allclose(new_pool.images[:4], batch)
+
+    def test_pool_size_zero_passthrough(self):
+        pool = pool_init(0, (2, 2, 1))
+        batch = jnp.ones((3, 2, 2, 1))
+        new_pool, out = pool_query(pool, batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(out, batch)
+
+    def test_replay_statistics(self):
+        """Once full, ~half the returns are replayed old images
+        (reference :24-32: p>0.5 swap)."""
+        pool = pool_init(4, (1, 1, 1))
+        fill = jnp.full((4, 1, 1, 1), -1.0)
+        pool, _ = pool_query(pool, fill, jax.random.PRNGKey(0))
+        assert int(pool.num) == 4
+
+        replays = 0
+        total = 0
+        query = jax.jit(pool_query)
+        for i in range(50):
+            batch = jnp.full((4, 1, 1, 1), float(i))
+            pool, out = query(pool, batch, jax.random.PRNGKey(100 + i))
+            replays += int(jnp.sum(out != float(i)))
+            total += 4
+        frac = replays / total
+        assert 0.3 < frac < 0.7  # p=0.5 swap policy
+
+    def test_swap_stores_new_image(self):
+        pool = pool_init(2, (1, 1, 1))
+        pool, _ = pool_query(pool, jnp.zeros((2, 1, 1, 1)),
+                             jax.random.PRNGKey(0))
+        for i in range(20):
+            pool, _ = pool_query(pool, jnp.full((2, 1, 1, 1), float(i + 1)),
+                                 jax.random.PRNGKey(i))
+        # after many swaps the pool should no longer be all zeros
+        assert float(jnp.abs(pool.images).sum()) > 0
+
+
+class TestLRSchedule:
+    def test_lambda_policy_constant_then_decay(self):
+        """lr_l = 1 - max(0, e+1+count-niter)/(decay+1)
+        (reference network_utils.py:87-95)."""
+        cfg = Config(optim=OptimConfig(lr=2e-4, niter=500, niter_decay=200,
+                                       epoch_count=1))
+        assert lr_for_epoch(cfg, 0) == pytest.approx(2e-4)
+        assert lr_for_epoch(cfg, 498) == pytest.approx(2e-4)
+        # epoch 499: mult = 1 - (499+1+1-500)/201 = 1 - 1/201
+        assert lr_for_epoch(cfg, 499) == pytest.approx(2e-4 * (1 - 1 / 201))
+        # last decay epoch: mult -> ~0
+        assert lr_for_epoch(cfg, 699) == pytest.approx(2e-4 * (1 - 201 / 201))
+
+    def test_step_policy(self):
+        cfg = Config(optim=OptimConfig(lr=1e-3, lr_policy="step",
+                                       lr_decay_iters=50))
+        assert lr_for_epoch(cfg, 49) == pytest.approx(1e-3)
+        assert lr_for_epoch(cfg, 50) == pytest.approx(1e-4)
+
+
+def _tiny_cfg(**opt_kw):
+    return Config(
+        model=ModelConfig(fine_size=32, g_n_blocks=1, ngf=8, ndf=8),
+        optim=OptimConfig(pool_size=4, **opt_kw))
+
+
+def _batch(bsz, size=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return {k: jnp.asarray(rng.uniform(-1, 1, (bsz, size, size, c))
+                           .astype(np.float32))
+            for k, c in [("H1", 3), ("H2", 3), ("D1", 3), ("D2", 3),
+                         ("P1", 21), ("P2", 21)]}
+
+
+def _make(cfg, axis_name=None):
+    system = MMHandSystem(cfg, axis_name=axis_name)
+    state = system.init_state(jax.random.PRNGKey(0), local_batch_size=2)
+    vgg = system.make_l1_loss(None).init_vgg(
+        jax.random.PRNGKey(1), (1, cfg.model.fine_size, cfg.model.fine_size, 3))
+    l1 = system.make_l1_loss(vgg)
+    return system, state, l1
+
+
+class TestTrainStep:
+    def test_step_runs_and_metrics_contract(self):
+        cfg = _tiny_cfg()
+        system, state, l1 = _make(cfg)
+        step = jax.jit(make_train_step(system, l1))
+        state, metrics = step(state, _batch(2), 2e-4)
+        # loss-dict contract (reference get_current_errors MMHandModel.py:332-341)
+        assert set(metrics) == {"pair_L1loss", "D_PP", "D_PB",
+                                "pair_GANloss", "origin_L1", "perceptual"}
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        assert int(state.step) == 1
+
+    def test_losses_improve_on_fixed_batch(self):
+        cfg = _tiny_cfg()
+        system, state, l1 = _make(cfg)
+        step = jax.jit(make_train_step(system, l1))
+        batch = _batch(2)
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch, 1e-3)
+            if first is None:
+                first = metrics
+        assert float(metrics["pair_L1loss"]) < float(first["pair_L1loss"])
+
+    def test_dg_ratio_multiple_d_steps(self):
+        cfg = _tiny_cfg(dg_ratio=2)
+        system, state, l1 = _make(cfg)
+        step = jax.jit(make_train_step(system, l1))
+        state, metrics = step(state, _batch(2), 2e-4)
+        # 2 D_PB pool queries x batch 2 -> 4 stored
+        assert int(state.pool_pb.num) == 4
+
+    def test_d_params_update(self):
+        cfg = _tiny_cfg()
+        system, state, l1 = _make(cfg)
+        step = jax.jit(make_train_step(system, l1))
+        before = jax.tree.leaves(state.d_pb.params)[0].copy()
+        state, _ = step(state, _batch(2), 1e-3)
+        after = jax.tree.leaves(state.d_pb.params)[0]
+        assert not np.allclose(before, after)
+
+
+class TestShardedStep:
+    def test_eight_way_dp_matches_contract(self):
+        assert jax.device_count() == 8
+        cfg = _tiny_cfg()
+        system, state, l1 = _make(cfg, axis_name="data")
+        mesh = make_mesh()
+        step = make_sharded_train_step(system, l1, mesh)
+        gstate = replicate_state_for_mesh(state, mesh)
+        batch = shard_batch(_batch(16), mesh)
+        gstate, metrics = step(gstate, batch, 2e-4)
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        # params stayed replicated: one step on each device, same values
+        gstate, _ = step(gstate, batch, 2e-4)
+        assert int(gstate.step) == 2
+        # per-device pools filled independently
+        assert gstate.pool_pb.images.shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(gstate.pool_pb.num),
+                                      np.full(8, 4))
+
+    def test_sync_bn_matches_full_batch(self):
+        """Cross-replica BN: sharded G forward == single-device full-batch
+        forward (dropout off).  This is the convert_syncbn_model parity
+        check (mean of moments, not mean-of-means)."""
+        from jax.sharding import PartitionSpec as P
+        from mmhand_tpu.models import Generator, NormConfig
+
+        mesh = make_mesh()
+        g_sync = Generator(ngf=8, n_blocks=1, use_dropout=False,
+                           norm=NormConfig(kind="batch", axis_name="data"),
+                           dtype=jnp.float32)
+        g_plain = Generator(ngf=8, n_blocks=1, use_dropout=False,
+                            norm=NormConfig(kind="batch"), dtype=jnp.float32)
+        # random inputs everywhere: constant channels have ~zero variance,
+        # and 1/sqrt(var+eps) amplifies float noise into false mismatches
+        x = (jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (8, 32, 32, 3)),
+                         jnp.float32),
+             jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (8, 32, 32, 42)),
+                         jnp.float32),
+             jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (8, 32, 32, 6)),
+                         jnp.float32))
+        variables = g_plain.init(jax.random.PRNGKey(0), x, train=False)
+
+        full = g_plain.apply(variables, x, train=True,
+                             mutable=["batch_stats"])[0]
+
+        def fwd(v, xs):
+            return g_sync.apply(v, xs, train=True, mutable=["batch_stats"])[0]
+
+        sharded_fwd = jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False)
+        sharded = sharded_fwd(variables, x)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(sharded),
+                                   atol=1e-4)
