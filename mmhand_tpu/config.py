@@ -212,6 +212,7 @@ _FLAG_MAP = [
     ("--augmentation_ratio", "data.augmentation_ratio", float, "train split ratio"),
     ("--augmentation_method", "data.augmentation_method", str, ""),
     ("--pairLst", "data.pair_lst", str, "pair CSV (MMHand dataset)"),
+    ("--max_dataset_size", "data.max_dataset_size", int, "cap dataset size"),
     ("--seed", "data.seed", int, "rng seed"),
     ("--nThreads", "data.n_threads", int, "host data workers"),
 ]

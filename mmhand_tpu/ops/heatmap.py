@@ -104,6 +104,7 @@ def gaussian_heatmaps_pallas(uv, height: int = 256, width: int = 256,
     sig = jnp.array([sigma], jnp.float32)
     out = pl.pallas_call(
         _heatmap_kernel,
+        interpret=jax.default_backend() == "cpu",
         out_shape=jax.ShapeDtypeStruct((b * k, height, width), jnp.float32),
         grid=(b, k),
         in_specs=[

@@ -161,6 +161,7 @@ def generate_jointsmap_pallas(uv, depth, height: int = 256, width: int = 256):
 
     return pl.pallas_call(
         _jointsmap_kernel,
+        interpret=jax.default_backend() == "cpu",
         out_shape=jax.ShapeDtypeStruct((bsz, height, width), jnp.float32),
         grid=(bsz,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],

@@ -1,0 +1,78 @@
+"""Console + file logging with reference-compatible formats.
+
+* loss lines `(epoch: E, iters: I, time: T) k1: v1 k2: v2 ...` appended to
+  `checkpoints/<name>/loss_log.txt` (reference util/visualizer.py:27-30,
+  116-123);
+* options snapshot `opt.txt` (reference options/base_options.py:209-217);
+* optional jax.profiler trace capture (the reference had no tracing at all
+  — SURVEY.md §5; this is the idiomatic addition).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+
+
+class Visualizer:
+    def __init__(self, checkpoints_dir: str, name: str, *, master: bool = True):
+        self.master = master
+        self.dir = os.path.join(checkpoints_dir, name)
+        if master:
+            os.makedirs(self.dir, exist_ok=True)
+            self.log_name = os.path.join(self.dir, "loss_log.txt")
+            with open(self.log_name, "a") as f:
+                f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
+
+    def save_options(self, cfg) -> None:
+        """opt.txt snapshot (reference base_options.py:209-217)."""
+        if not self.master:
+            return
+        lines = ["------------ Options -------------"]
+        for section in dataclasses.fields(cfg):
+            val = getattr(cfg, section.name)
+            if dataclasses.is_dataclass(val):
+                for f in dataclasses.fields(val):
+                    lines.append(f"{section.name}.{f.name}: {getattr(val, f.name)}")
+            else:
+                lines.append(f"{section.name}: {val}")
+        lines.append("-------------- End ----------------")
+        with open(os.path.join(self.dir, "opt.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def print_current_errors(self, epoch: int, iters: int, errors: dict,
+                             t: float) -> None:
+        """reference util/visualizer.py:116-123 format."""
+        if not self.master:
+            return
+        message = f"(epoch: {epoch}, iters: {iters}, time: {t:.3f}) "
+        for k, v in errors.items():
+            message += f"{k}: {float(v):.3f} "
+        print(message)
+        with open(self.log_name, "a") as f:
+            f.write(message + "\n")
+
+    def save_image(self, image, name: str) -> None:
+        if not self.master:
+            return
+        from PIL import Image
+        import numpy as np
+        img_dir = os.path.join(self.dir, "web", "images")
+        os.makedirs(img_dir, exist_ok=True)
+        Image.fromarray(np.asarray(image)).save(os.path.join(img_dir, name))
+
+    @contextlib.contextmanager
+    def profile(self, enable: bool = True, subdir: str = "trace"):
+        """jax.profiler trace for one scope (new capability; the reference
+        only had wall-clock prints)."""
+        if not (enable and self.master):
+            yield
+            return
+        trace_dir = os.path.join(self.dir, subdir)
+        with jax.profiler.trace(trace_dir):
+            yield

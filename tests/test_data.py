@@ -1,0 +1,184 @@
+"""Data-layer tests: split semantics parity, dataset listing over a fake
+crop tree, loader determinism/sharding, and the on-device batch renderer."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mmhand_tpu.config import Config, DataConfig, ModelConfig
+from mmhand_tpu.data import (
+    HostLoader,
+    RHDCrops,
+    STBCrops,
+    SyntheticHands,
+    build_dataset,
+    make_prepare_batch,
+    split_src_tgt,
+)
+from mmhand_tpu.data.loader import epoch_permutation, host_shard
+
+
+class TestSplit:
+    """reference data/generic_dataset.py:96-128 _get_src_tgt semantics."""
+
+    def _rng(self):
+        return np.random.default_rng(0)
+
+    def test_train_keeps_last_ratio_fraction(self):
+        data = [f"{i:03d}.png" for i in range(10)]
+        src, tgt = split_src_tgt(data, 0.8, is_train=True,
+                                 root_dir="/d/train", rng=self._rng())
+        # sep = int((1-0.8)*10) = int(1.9999...) = 1 — the reference's float
+        # truncation (generic_dataset.py:112) is reproduced deliberately
+        assert tgt == data[1:]
+        assert sorted(src) == sorted(tgt)
+
+    def test_generate_mode_takes_complement(self):
+        data = [f"{i:03d}.png" for i in range(10)]
+        _, tgt = split_src_tgt(data, 0.8, is_train=False,
+                               root_dir="/d/train", rng=self._rng())
+        assert tgt == data[:1]  # int((1-0.8)*10) = 1, see above
+
+    def test_test_dir_uses_all(self):
+        data = [f"{i:03d}.png" for i in range(10)]
+        _, tgt = split_src_tgt(data, 0.8, is_train=False,
+                               root_dir="/d/test", rng=self._rng())
+        assert tgt == data
+
+    def test_ratio_one_train_uses_all(self):
+        data = list("abcdef")
+        _, tgt = split_src_tgt(data, 1.0, is_train=True,
+                               root_dir="/d/train", rng=self._rng())
+        assert tgt == sorted(data)
+
+    def test_sources_are_shuffled_pairing(self):
+        data = [f"{i:03d}" for i in range(100)]
+        src, tgt = split_src_tgt(data, 1.0, is_train=True,
+                                 root_dir="/d/train", rng=self._rng())
+        assert src != tgt and sorted(src) == sorted(tgt)
+
+
+def _write_fake_rhd(root, n=6, size=32):
+    os.makedirs(os.path.join(root, "color"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    annos = {"color": {}, "depth": {}, "mask": {}}
+    for i in range(n):
+        name = f"{i:05d}.png"
+        img = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(root, "color", name))
+        Image.fromarray(img[::-1]).save(os.path.join(root, "depth", name))
+        anno = {"K": np.eye(3), "uv_coord": rng.uniform(5, size - 5, (21, 2)),
+                "xyz": rng.uniform(size=(21, 3)),
+                "depth": rng.uniform(100, 600, 21)}
+        for f in annos:
+            annos[f][name] = anno
+    with open(os.path.join(root, "annotation.pickle"), "wb") as fh:
+        pickle.dump(annos, fh)
+
+
+def _write_fake_stb(root, size=32):
+    rng = np.random.RandomState(0)
+    annos = {}
+    for folder in ["B1Counting", "B2Random"]:
+        os.makedirs(os.path.join(root, folder), exist_ok=True)
+        annos[folder] = {}
+        for cam in ["SK", "BB"]:
+            for i in range(3):
+                name = f"{cam}_color_{i}.png"
+                img = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+                Image.fromarray(img).save(os.path.join(root, folder, name))
+                annos[folder][name] = {
+                    "k": np.eye(3),
+                    "uv_coord": rng.uniform(5, size - 5, (21, 2)),
+                    "xyz": rng.uniform(size=(21, 3)),
+                    "depth": rng.uniform(100, 600, 21)}
+    with open(os.path.join(root, "annotation.pickle"), "wb") as fh:
+        pickle.dump(annos, fh)
+
+
+def _cfg(root, dataset, size=32, ratio=1.0, bsz=2):
+    return Config(
+        model=ModelConfig(fine_size=size),
+        data=DataConfig(dataset=dataset, dataroot=root, batch_size=bsz,
+                        augmentation_ratio=ratio))
+
+
+class TestDatasets:
+    def test_rhd_listing_and_pair_loading(self, tmp_path):
+        root = str(tmp_path / "rhd_train")
+        _write_fake_rhd(root)
+        ds = RHDCrops(_cfg(root, "RHD"))
+        assert len(ds) == 6
+        src, tgt = ds.load_pair(0)
+        assert src.image.shape == (32, 32, 3) and src.image.dtype == np.uint8
+        assert src.depth.dtype == np.uint16
+        assert src.uv.shape == (21, 2) and src.z.shape == (21,)
+
+    def test_rhd_ratio_split(self, tmp_path):
+        root = str(tmp_path / "rhd_train")
+        _write_fake_rhd(root, n=10)
+        ds = RHDCrops(_cfg(root, "RHD", ratio=0.6))
+        assert len(ds) == 6  # last 60%
+        names = sorted(os.path.basename(p) for p in ds.image_target)
+        assert names[0] == "00004.png"
+
+    def test_stb_skips_bb_camera(self, tmp_path):
+        root = str(tmp_path / "stb_train")
+        _write_fake_stb(root)
+        ds = STBCrops(_cfg(root, "STB"))
+        assert len(ds) == 6  # 2 folders x 3 SK frames; BB skipped
+        assert all("SK_color" in p for p in ds.image_target)
+
+    def test_factory(self, tmp_path):
+        root = str(tmp_path / "rhd_train")
+        _write_fake_rhd(root)
+        assert isinstance(build_dataset(_cfg(root, "RHD")), RHDCrops)
+        assert isinstance(build_dataset(_cfg("", "synthetic")), SyntheticHands)
+
+
+class TestLoader:
+    def test_epoch_permutation_deterministic(self):
+        a = epoch_permutation(100, seed=49, epoch=3)
+        b = epoch_permutation(100, seed=49, epoch=3)
+        c = epoch_permutation(100, seed=49, epoch=4)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_host_shards_are_disjoint(self):
+        perm = epoch_permutation(100, 0, 0)
+        shards = [host_shard(perm, h, 4) for h in range(4)]
+        all_idx = np.concatenate(shards)
+        assert len(all_idx) == 100 and len(set(all_idx.tolist())) == 100
+
+    def test_loader_batches(self):
+        cfg = _cfg("", "synthetic", size=32, bsz=4)
+        ds = SyntheticHands(cfg, length=10)
+        loader = HostLoader(ds, 4, seed=1)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2  # drop_last
+        b = batches[0]
+        assert b["src_image"].shape == (4, 32, 32, 3)
+        assert b["tgt_uv"].shape == (4, 21, 2)
+        assert len(b["tgt_paths"]) == 4
+
+    def test_prepare_batch_rendering(self):
+        cfg = _cfg("", "synthetic", size=32, bsz=2)
+        ds = SyntheticHands(cfg, length=4)
+        loader = HostLoader(ds, 2, seed=1)
+        raw = next(iter(loader.epoch(0)))
+        prep = make_prepare_batch(sigma=6.0)
+        batch = prep({k: v for k, v in raw.items() if not k.endswith("paths")})
+        assert batch["H1"].shape == (2, 32, 32, 3)
+        assert batch["P1"].shape == (2, 32, 32, 21)
+        assert batch["D1"].shape == (2, 32, 32, 3)
+        h1 = np.asarray(batch["H1"])
+        assert h1.min() >= -1.0 - 1e-5 and h1.max() <= 1.0 + 1e-5
+        p2 = np.asarray(batch["P2"])
+        assert p2.max() == pytest.approx(1.0, abs=1e-3)  # peak at keypoint
+        # depth planes replicate
+        d1 = np.asarray(batch["D1"])
+        np.testing.assert_allclose(d1[..., 0], d1[..., 2])
