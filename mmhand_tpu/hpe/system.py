@@ -1,0 +1,127 @@
+"""Downstream hand-pose-estimator trainer (the augmentation study).
+
+Port of the reference hpm trainer
+(reference hand_pose_estimators/CVPR2020_hpm3d/models/hpm_model.py:25-199):
+
+* two networks — Hpm2d (image -> 6-stage heatmaps), Hpm3d (GT heatmaps ->
+  21 z values) — with two separate Adam optimizers;
+* loss_mse = sum over the 6 stage outputs of MSE vs the sigma-5 GT
+  heatmaps, masked by instance_weight, x1000 (reference Criterion :168-173);
+* loss_lz = SmoothL1 on z, instance-weight masked (:108-115).
+
+instance_weight masks samples whose image was replaced by random noise in
+the method="None" ablation (reference data/RHD_dataset.py:142-152).  Torch
+indexes `x[iw==1]` (dynamic shape); here the same mean is computed with
+static-shape weighting: sum(iw * per_sample) / max(1, sum(iw)).
+
+TPU-native: one jitted step, both backward passes fused; optax.adam
+replaces apex FusedAdam (hpm_model.py:61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mmhand_tpu.models.cpm import Hpm2d, Hpm3d
+
+STAGE_LOSS_SCALE = 1000.0  # reference hpm_model.py:173
+
+
+class HPETrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params2d: Any
+    params3d: Any
+    opt2d: Any
+    opt3d: Any
+
+
+def smooth_l1(pred, target):
+    """torch SmoothL1Loss (beta=1): 0.5 x^2 if |x|<1 else |x|-0.5."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+
+
+def _masked_mean(per_sample, weight):
+    """Mean over samples with weight 1 (static-shape `x[iw==1]` analog)."""
+    w = weight.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class HPESystem:
+    num_joints: int = 21
+    lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(self, "hpm2d",
+                           Hpm2d(self.num_joints, dtype=self.dtype))
+        object.__setattr__(self, "hpm3d",
+                           Hpm3d(self.num_joints, dtype=self.dtype))
+        object.__setattr__(self, "tx", optax.adam(
+            self.lr, b1=self.beta1, b2=self.beta2))
+
+    def init_state(self, rng, size: int = 256) -> HPETrainState:
+        k2, k3 = jax.random.split(rng)
+        p2d = self.hpm2d.init(k2, jnp.zeros((1, size, size, 3)))["params"]
+        p3d = self.hpm3d.init(
+            k3, jnp.zeros((1, size, size, self.num_joints)))["params"]
+        return HPETrainState(
+            step=jnp.zeros((), jnp.int32),
+            params2d=p2d, params3d=p3d,
+            opt2d=self.tx.init(p2d), opt3d=self.tx.init(p3d))
+
+
+def make_hpe_train_step(system: HPESystem):
+    """step(state, batch) -> (state, metrics).
+
+    batch: {image (B,S,S,3) in [-1,1], heatmaps (B,S,S,21) sigma-5 GT,
+            z (B,21) depth/0.7, weight (B,) 0/1}.
+    """
+    axis = system.axis_name
+
+    def psync(tree):
+        return jax.lax.pmean(tree, axis) if axis else tree
+
+    def train_step(state: HPETrainState, batch):
+        image, heat = batch["image"], batch["heatmaps"]
+        z, w = batch["z"], batch["weight"]
+
+        def loss2d_fn(params):
+            stages = system.hpm2d.apply({"params": params}, image)
+            loss = 0.0
+            for s in stages:
+                per = jnp.mean((s - heat) ** 2, axis=(1, 2, 3))
+                loss = loss + _masked_mean(per, w)
+            return loss * STAGE_LOSS_SCALE
+
+        def loss3d_fn(params):
+            # 3d net trains on GT heatmaps (reference hpm_model.py:97)
+            z_pred = system.hpm3d.apply({"params": params}, heat)
+            per = jnp.mean(smooth_l1(z_pred, z), axis=-1)
+            return _masked_mean(per, w)
+
+        loss_mse, g2d = jax.value_and_grad(loss2d_fn)(state.params2d)
+        loss_lz, g3d = jax.value_and_grad(loss3d_fn)(state.params3d)
+        g2d, g3d = psync(g2d), psync(g3d)
+
+        up2d, opt2d = system.tx.update(g2d, state.opt2d, state.params2d)
+        up3d, opt3d = system.tx.update(g3d, state.opt3d, state.params3d)
+        new_state = state.replace(
+            step=state.step + 1,
+            params2d=optax.apply_updates(state.params2d, up2d),
+            params3d=optax.apply_updates(state.params3d, up3d),
+            opt2d=opt2d, opt3d=opt3d)
+        metrics = psync({"mse": loss_mse, "lz": loss_lz})
+        return new_state, metrics
+
+    return train_step

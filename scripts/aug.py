@@ -53,7 +53,8 @@ def generate(cfg: Config, dst: str, batch_size: int = 16,
     system, _ = build_system(cfg.replace(is_train=False))
     if state is None:
         ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
-        template = system.init_state(jax.random.PRNGKey(0), 1)
+        template = jax.eval_shape(
+            lambda: system.init_state(jax.random.PRNGKey(0), 1))
         state = ckpt.restore(template, cfg.run.which_epoch)
     eval_step = make_eval_step(system)
 

@@ -1,0 +1,148 @@
+"""HPE augmentation-study tests: loss semantics, mixing dataset, train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmhand_tpu.config import Config, DataConfig, ModelConfig
+from mmhand_tpu.hpe import (
+    HPEMixDataset,
+    HPESystem,
+    make_hpe_prepare_batch,
+    make_hpe_train_step,
+)
+from mmhand_tpu.hpe.data import augmentation_dir_for
+from mmhand_tpu.hpe.system import smooth_l1, _masked_mean
+
+
+class TestLossPieces:
+    def test_smooth_l1_golden(self):
+        """torch SmoothL1: 0.5x^2 inside |x|<1, |x|-0.5 outside."""
+        x = jnp.array([0.0, 0.5, 1.0, 2.0, -3.0])
+        got = np.asarray(smooth_l1(x, jnp.zeros_like(x)))
+        want = np.array([0.0, 0.125, 0.5, 1.5, 2.5])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_masked_mean_matches_index_select(self):
+        """_masked_mean == torch's x[iw==1].mean() semantics."""
+        per = jnp.array([1.0, 2.0, 3.0, 4.0])
+        w = jnp.array([1, 0, 1, 0])
+        assert float(_masked_mean(per, w)) == pytest.approx(2.0)
+
+    def test_masked_mean_all_zero_safe(self):
+        per = jnp.array([1.0, 2.0])
+        w = jnp.array([0, 0])
+        assert float(_masked_mean(per, w)) == 0.0
+
+
+def _cfg(ratio=0.5, method="MM-Hand", size=32):
+    return Config(model=ModelConfig(fine_size=size),
+                  data=DataConfig(dataset="synthetic", batch_size=2,
+                                  augmentation_ratio=ratio,
+                                  augmentation_method=method))
+
+
+class TestMixDataset:
+    def test_augmentation_dir_naming(self):
+        """reference RHD_dataset.py:107-110 sibling-dir contract."""
+        assert augmentation_dir_for("/data/rhd_crop", "MM-Hand") == \
+            "/data/MM-Hand_rhd_crop"
+
+    def test_augmentation_fraction(self):
+        ds = HPEMixDataset(_cfg(ratio=0.75), length_for_synthetic=100)
+        assert ds.augmentation_map.sum() == 25  # (1-0.75)*100
+
+    def test_none_method_noise_with_zero_weight(self):
+        ds = HPEMixDataset(_cfg(ratio=0.0, method="None"),
+                           length_for_synthetic=8)
+        # note: synthetic datasets always produce weight 1 (no real files);
+        # exercise the mixing logic through a real tree instead
+        assert ds.augmentation_map.all()
+
+    def test_none_method_real_tree(self, tmp_path):
+        import pickle
+        from PIL import Image
+        root = str(tmp_path / "rhd_train")
+        import os
+        os.makedirs(os.path.join(root, "color"))
+        annos = {"color": {}}
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            name = f"{i:05d}.png"
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                            ).save(os.path.join(root, "color", name))
+            annos["color"][name] = {
+                "uv_coord": rng.uniform(5, 27, (21, 2)),
+                "depth": rng.uniform(0.1, 0.7, 21)}
+        with open(os.path.join(root, "annotation.pickle"), "wb") as f:
+            pickle.dump(annos, f)
+
+        cfg = Config(model=ModelConfig(fine_size=32),
+                     data=DataConfig(dataset="RHD", dataroot=root,
+                                     augmentation_ratio=0.0,
+                                     augmentation_method="None"))
+        ds = HPEMixDataset(cfg)
+        assert ds.augmentation_map.all()
+        item = ds.load_item(0)
+        assert item["weight"] == 0  # noise ablation
+
+    def test_z_scaling(self):
+        ds = HPEMixDataset(_cfg(ratio=1.0), length_for_synthetic=4)
+        item = ds.load_item(0)
+        # z = depth / 0.7 (reference RHD_dataset.py:158)
+        assert item["z"].max() <= 0.7 / 0.7 + 1e-6
+
+
+class TestHPETrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        system = HPESystem(dtype=jnp.float32)
+        state = system.init_state(jax.random.PRNGKey(0), size=32)
+        step = jax.jit(make_hpe_train_step(system))
+        return system, state, step
+
+    def _batch(self, weight=None):
+        rng = np.random.RandomState(0)
+        return {
+            "image": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)),
+                                 jnp.float32),
+            "heatmaps": jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 21)),
+                                    jnp.float32),
+            "z": jnp.asarray(rng.uniform(0, 1, (2, 21)), jnp.float32),
+            "weight": jnp.asarray(weight if weight is not None else [1, 1],
+                                  jnp.int32),
+        }
+
+    def test_step_runs_and_improves(self, setup):
+        system, state, step = setup
+        batch = self._batch()
+        state, m0 = step(state, batch)
+        for _ in range(5):
+            state, m = step(state, batch)
+        assert float(m["mse"]) < float(m0["mse"])
+        assert int(state.step) == 6
+
+    def test_zero_weight_samples_no_gradient(self, setup):
+        """All-masked batch -> losses zero, params unchanged."""
+        system, state, step = setup
+        before = jax.tree.leaves(state.params2d)[0].copy()
+        batch = self._batch(weight=[0, 0])
+        state, m = step(state, batch)
+        assert float(m["mse"]) == 0.0 and float(m["lz"]) == 0.0
+        after = jax.tree.leaves(state.params2d)[0]
+        # adam with zero grads produces zero update
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                                   atol=1e-7)
+
+    def test_prepare_batch_sigma5(self):
+        prep = make_hpe_prepare_batch()
+        raw = {"image": np.zeros((1, 32, 32, 3), np.uint8),
+               "uv": np.full((1, 21, 2), 16.0, np.float32),
+               "z": np.zeros((1, 21), np.float32),
+               "weight": np.ones((1,), np.int32)}
+        out = prep(raw)
+        hm = np.asarray(out["heatmaps"])[0, :, :, 0]
+        assert hm[16, 16] == pytest.approx(1.0)
+        # sigma 5: value at distance 5 ~ exp(-25/50)
+        assert hm[16, 21] == pytest.approx(np.exp(-0.5), abs=1e-3)
