@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""RHD preprocessing CLI (reference tool/create_RHD_DB.py:306-403).
+
+    python scripts/create_rhd_db.py SRC DST SIZE [--split evaluation]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mmhand_tpu.data.preprocess import create_rhd_db  # noqa: E402
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("src")
+    parser.add_argument("dst")
+    parser.add_argument("size", type=int, nargs="?", default=256)
+    parser.add_argument("--split", default="evaluation",
+                        choices=["training", "evaluation"])
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+    n = create_rhd_db(args.src, args.dst, args.size, split=args.split,
+                      workers=args.workers, limit=args.limit)
+    print(f"wrote {n} crops to {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
