@@ -17,6 +17,10 @@ from __future__ import annotations
 import json
 import time
 
+from mmhand_tpu.utils.fast_prng import enable_fast_prng
+
+enable_fast_prng()  # hardware RNG for dropout masks: ~25% step-time win
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +37,7 @@ def main():
     from mmhand_tpu.train import MMHandSystem, make_train_step
 
     cfg = Config()  # flagship: 256px, ngf64, 9 blocks, pool 50
-    batch = 8
+    batch = 16
 
     system = MMHandSystem(cfg)
     state = system.init_state(jax.random.PRNGKey(0), local_batch_size=batch)
