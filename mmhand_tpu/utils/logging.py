@@ -58,6 +58,8 @@ class Visualizer:
             f.write(message + "\n")
 
     def save_image(self, image, name: str) -> None:
+        """Save a snapshot into web/images and refresh the HTML gallery
+        (reference util/visualizer.py:78-97)."""
         if not self.master:
             return
         from PIL import Image
@@ -65,6 +67,18 @@ class Visualizer:
         img_dir = os.path.join(self.dir, "web", "images")
         os.makedirs(img_dir, exist_ok=True)
         Image.fromarray(np.asarray(image)).save(os.path.join(img_dir, name))
+        self._update_gallery()
+
+    def _update_gallery(self) -> None:
+        from mmhand_tpu.utils.html import HTMLGallery
+        web_dir = os.path.join(self.dir, "web")
+        img_dir = os.path.join(web_dir, "images")
+        gallery = HTMLGallery(web_dir, title=os.path.basename(self.dir))
+        names = sorted(os.listdir(img_dir), reverse=True)
+        for name in names:
+            gallery.add_header(name)
+            gallery.add_images([name], [name])
+        gallery.save()
 
     @contextlib.contextmanager
     def profile(self, enable: bool = True, subdir: str = "trace"):
