@@ -19,6 +19,7 @@ not reproduced)."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -68,6 +69,28 @@ def read_record(fh, height: int = 256, width: int = 256, n_kp: int = 42):
     vis = np.frombuffer(take(n_kp), np.uint8)
     return {"xyz": xyz, "uv": uv, "K": k, "image": image, "mask": mask,
             "visible": vis}
+
+
+class Hand3dBinaryDataset:
+    """Sequential reader over a packed GAN DB file — the consumer-side
+    equivalent of the hand3d TF queue readers (reference
+    hand_pose_estimators/CVPR2020_hand3d/data/BinaryDbReader_gan.py role):
+    lets the in-framework HPE fine-tune directly from a .bin database."""
+
+    def __init__(self, path: str, height: int = 256, width: int = 256):
+        self.path = path
+        self.height = height
+        self.width = width
+        self._rec = record_size(height, width)
+        self._len = os.path.getsize(path) // self._rec
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, index: int) -> dict:
+        with open(self.path, "rb") as fh:
+            fh.seek(index * self._rec)
+            return read_record(fh, self.height, self.width)
 
 
 def write_gan_db(out_path: str, samples) -> int:

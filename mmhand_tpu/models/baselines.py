@@ -151,6 +151,65 @@ class UnetGenerator(nn.Module):
         return block(x, train).astype(jnp.float32)
 
 
+class NLayerDiscriminator(nn.Module):
+    """70x70 PatchGAN (reference networks/net_nlayerdiscriminator.py,
+    networks.py:591-636): conv4 s2 stack widening to ndf*8, 1-ch head."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    norm: NormConfig = NormConfig()
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], kernel_init=conv_init,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        mult = 1
+        for n in range(1, self.n_layers + 1):
+            mult = min(2 ** n, 8)
+            stride = 2 if n < self.n_layers else 1
+            x = nn.Conv(self.ndf * mult, (4, 4), strides=(stride, stride),
+                        padding=[(1, 1), (1, 1)],
+                        use_bias=self.norm.use_bias, kernel_init=conv_init,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{n}")(x)
+            x = Norm(self.norm, dtype=self.dtype, name=f"norm{n}")(x, train)
+            x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(1, (4, 4), padding=[(1, 1), (1, 1)],
+                    kernel_init=conv_init, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="head")(x)
+        return x.astype(jnp.float32)
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (reference networks/net_pixeldiscriminator.py,
+    networks.py:639-686)."""
+
+    ndf: int = 64
+    norm: NormConfig = NormConfig()
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.ndf, (1, 1), kernel_init=conv_init,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(self.ndf * 2, (1, 1), use_bias=self.norm.use_bias,
+                    kernel_init=conv_init, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        x = Norm(self.norm, dtype=self.dtype, name="norm1")(x, train)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(1, (1, 1), kernel_init=conv_init, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="head")(x)
+        return x.astype(jnp.float32)
+
+
 class PATBlock2(nn.Module):
     """2-stream pose-attention block (reference model_variants.py:8-69)."""
 

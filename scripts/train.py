@@ -37,11 +37,38 @@ def main(argv=None):
                         help="override total epochs (default niter+niter_decay)")
     parser.add_argument("--vgg_npz", type=str, default=None,
                         help="converted VGG19 weights (tools/convert_torch_weights.py)")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the first "
+                             "steps under checkpoints/<name>/trace")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (multi-host DCN; "
+                             "replaces torch.distributed.launch)")
     args = parser.parse_args(argv)
 
+    host_id, num_hosts = 0, 1
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+        host_id, num_hosts = jax.process_index(), jax.process_count()
+
     cfg = from_cli_args(args, Config())
+
+    if args.profile:
+        import jax
+        import os
+        trace_dir = os.path.join(cfg.run.checkpoints_dir, cfg.run.name,
+                                 "trace")
+        with jax.profiler.trace(trace_dir):
+            result = train(cfg, max_steps=args.max_steps or 3,
+                           vgg_npz=args.vgg_npz, total_epochs=args.epochs,
+                           host_id=host_id, num_hosts=num_hosts)
+        print(f"profile trace written to {trace_dir}")
+        print(f"done: {result.steps} steps")
+        return
+
     result = train(cfg, max_steps=args.max_steps, vgg_npz=args.vgg_npz,
-                   total_epochs=args.epochs)
+                   total_epochs=args.epochs,
+                   host_id=host_id, num_hosts=num_hosts)
     print(f"done: {result.steps} steps, last metrics: "
           f"{ {k: round(v, 4) for k, v in result.last_metrics.items()} }")
 

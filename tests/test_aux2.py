@@ -136,3 +136,68 @@ class TestHTMLGallery:
         out = g.save()
         content = open(out).read()
         assert "epoch 1" in content and "images/a.png" in content
+
+
+class TestPoseDrawing:
+    def test_labelcolormap_shape_and_xor(self):
+        from mmhand_tpu.utils.visualize import labelcolormap
+        cm = labelcolormap(22)
+        assert cm.shape == (22, 3)
+        assert (cm[0] == 0).all()
+        # distinct colors for the used labels
+        assert len({tuple(c) for c in cm}) == 22
+
+    def test_draw_pose_from_cords(self):
+        import numpy as np
+        from mmhand_tpu.utils.visualize import draw_pose_from_cords
+        rng = np.random.RandomState(0)
+        cords = rng.uniform(30, 220, (21, 2)).astype(np.float32)
+        img = draw_pose_from_cords(cords, (256, 256))
+        assert img.shape == (256, 256, 3)
+        assert img.max() > 0  # something drawn
+
+    def test_draw_pose_missing_joints_safe(self):
+        import numpy as np
+        from mmhand_tpu.utils.visualize import draw_pose_from_cords
+        cords = np.full((21, 2), -1.0, np.float32)
+        img = draw_pose_from_cords(cords, (64, 64))
+        assert img.sum() == 0  # nothing drawn, no crash
+
+
+class TestBaselineDiscriminators:
+    def test_nlayer_patchgan(self):
+        import jax, jax.numpy as jnp
+        from mmhand_tpu.models.baselines import NLayerDiscriminator
+        d = NLayerDiscriminator(ndf=16, dtype=jnp.float32)
+        v = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)),
+                   train=False)
+        out = d.apply(v, jnp.zeros((1, 64, 64, 6)), train=False)
+        assert out.shape[-1] == 1 and out.shape[1] < 64  # patch logits
+
+    def test_pixel_discriminator(self):
+        import jax, jax.numpy as jnp
+        from mmhand_tpu.models.baselines import PixelDiscriminator
+        d = PixelDiscriminator(ndf=16, dtype=jnp.float32)
+        v = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+        out = d.apply(v, jnp.zeros((1, 32, 32, 3)), train=False)
+        assert out.shape == (1, 32, 32, 1)
+
+
+class TestHand3dDataset:
+    def test_binary_dataset(self, tmp_path):
+        import numpy as np
+        from mmhand_tpu.data.hand3d_binary import (
+            Hand3dBinaryDataset, write_gan_db)
+        rng = np.random.RandomState(0)
+        samples = [{
+            "image": rng.randint(0, 255, (64, 64, 3), dtype=np.uint8),
+            "uv": rng.uniform(0, 64, (21, 2)).astype(np.float32),
+            "xyz": rng.uniform(-1, 1, (21, 3)).astype(np.float32),
+            "K": np.eye(3, dtype=np.float32)} for _ in range(3)]
+        out = str(tmp_path / "db.bin")
+        write_gan_db(out, samples)
+        ds = Hand3dBinaryDataset(out, 64, 64)
+        assert len(ds) == 3
+        rec = ds[2]
+        np.testing.assert_array_equal(rec["image"], samples[2]["image"])
