@@ -58,11 +58,18 @@ def main(argv=None):
         import os
         trace_dir = os.path.join(cfg.run.checkpoints_dir, cfg.run.name,
                                  "trace")
-        with jax.profiler.trace(trace_dir):
+        try:
+            with jax.profiler.trace(trace_dir):
+                result = train(cfg, max_steps=args.max_steps or 3,
+                               vgg_npz=args.vgg_npz, total_epochs=args.epochs,
+                               host_id=host_id, num_hosts=num_hosts)
+            print(f"profile trace written to {trace_dir}")
+        except Exception as e:  # some backends (axon tunnel) can't profile
+            print(f"profiler unavailable on this backend ({e}); "
+                  "running without trace")
             result = train(cfg, max_steps=args.max_steps or 3,
                            vgg_npz=args.vgg_npz, total_epochs=args.epochs,
                            host_id=host_id, num_hosts=num_hosts)
-        print(f"profile trace written to {trace_dir}")
         print(f"done: {result.steps} steps")
         return
 
