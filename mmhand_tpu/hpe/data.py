@@ -133,6 +133,33 @@ class HPEMixDataset:
         }
 
 
+class BinDBDataset:
+    """HPE training batches straight from a hand3d packed binary GAN DB
+    (scripts/create_hand3d_db.py output) — the in-framework replacement for
+    the reference's TF BinaryDbReader_gan fine-tuning path
+    (reference hand_pose_estimators/CVPR2020_hand3d/data/BinaryDbReader_gan.py
+    role)."""
+
+    def __init__(self, bin_path: str, size: int = 256):
+        from mmhand_tpu.data.hand3d_binary import Hand3dBinaryDataset
+
+        self.db = Hand3dBinaryDataset(bin_path, size, size)
+        self.size = size
+
+    def __len__(self):
+        return len(self.db)
+
+    def batch(self, indices) -> dict:
+        recs = [self.db[int(i)] for i in indices]
+        return {
+            "image": np.stack([r["image"] for r in recs]),
+            "uv": np.stack([r["uv"][:21] for r in recs]).astype(np.float32),
+            "z": np.stack([r["xyz"][:21, 2] for r in recs]).astype(
+                np.float32) / Z_SCALE,
+            "weight": np.ones(len(recs), np.int32),
+        }
+
+
 def make_hpe_prepare_batch(sigma: float = HPE_SIGMA):
     """Raw host batch -> device batch with sigma-5 heatmaps."""
 

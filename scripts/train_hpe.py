@@ -38,6 +38,10 @@ def main(argv=None):
     add_cli_args(parser)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--from_bin", type=str, default=None,
+                        help="train from a hand3d packed binary GAN DB "
+                             "(scripts/create_hand3d_db.py output) instead "
+                             "of a crop tree")
     args = parser.parse_args(argv)
     cfg = from_cli_args(args, Config())
 
@@ -47,7 +51,11 @@ def main(argv=None):
     step = jax.jit(make_hpe_train_step(system), donate_argnums=(0,))
     prepare = make_hpe_prepare_batch()
 
-    dataset = HPEMixDataset(cfg, is_train=True)
+    if args.from_bin:
+        from mmhand_tpu.hpe.data import BinDBDataset
+        dataset = BinDBDataset(args.from_bin, size=cfg.model.fine_size)
+    else:
+        dataset = HPEMixDataset(cfg, is_train=True)
     ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
     vis = Visualizer(cfg.run.checkpoints_dir, cfg.run.name)
     vis.save_options(cfg)

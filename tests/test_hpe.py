@@ -146,3 +146,26 @@ class TestHPETrainStep:
         assert hm[16, 16] == pytest.approx(1.0)
         # sigma 5: value at distance 5 ~ exp(-25/50)
         assert hm[16, 21] == pytest.approx(np.exp(-0.5), abs=1e-3)
+
+
+class TestBinDBDataset:
+    def test_batches_from_binary_db(self, tmp_path):
+        from mmhand_tpu.data.hand3d_binary import write_gan_db
+        from mmhand_tpu.hpe.data import BinDBDataset
+        rng = np.random.RandomState(0)
+        samples = [{
+            "image": rng.randint(0, 255, (32, 32, 3), dtype=np.uint8),
+            "uv": rng.uniform(0, 32, (21, 2)).astype(np.float32),
+            "xyz": rng.uniform(0.1, 0.7, (21, 3)).astype(np.float32),
+            "K": np.eye(3, dtype=np.float32)} for _ in range(4)]
+        out = str(tmp_path / "db.bin")
+        write_gan_db(out, samples)
+        ds = BinDBDataset(out, size=32)
+        assert len(ds) == 4
+        b = ds.batch([0, 2])
+        assert b["image"].shape == (2, 32, 32, 3)
+        assert b["uv"].shape == (2, 21, 2)
+        assert b["weight"].all()
+        # z scaled by 1/0.7 like the crop-tree path
+        np.testing.assert_allclose(
+            b["z"][0], samples[0]["xyz"][:, 2] / 0.7, rtol=1e-5)
