@@ -16,7 +16,6 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 
 from __future__ import annotations
 
-import functools
 import queue
 import threading
 from typing import Iterator, Optional

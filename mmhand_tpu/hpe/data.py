@@ -15,7 +15,6 @@ and normalizes on device.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

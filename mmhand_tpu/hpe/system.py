@@ -21,7 +21,7 @@ replaces apex FusedAdam (hpm_model.py:61).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

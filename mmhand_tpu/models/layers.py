@@ -18,7 +18,7 @@ conv/linear kernels ~ N(0, 0.02); norm scale ~ N(1, 0.02), bias 0.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -27,7 +27,6 @@ Loss contract (reference get_current_errors, MMHandModel.py:332-341):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +54,20 @@ def lr_for_epoch(cfg, epoch: int) -> float:
     raise NotImplementedError(f"lr policy [{o.lr_policy}]")
 
 
-def make_train_step(system: MMHandSystem, l1_loss):
+def make_train_step(system: MMHandSystem, l1_loss,
+                    fused_d_forward: bool = False):
     """Build the train step closure.
 
     Args:
       system: static MMHandSystem.
       l1_loss: L1PlusPerceptual instance or None (plain L1, --L1_type origin).
+      fused_d_forward: run each D phase's real and fake batches through ONE
+        concatenated forward.  Measured on v5e: NO throughput gain (40.5
+        img/s either way — XLA pipelines the two forwards), and the joint
+        BatchNorm statistics let D separate real/fake through batch stats
+        (D loss collapses ~5.1 -> ~1.4 in one step) — a known GAN pathology.
+        Kept for ablation only; the default matches the reference's separate
+        forwards (reference backward_D_basic MMHandModel.py:263-274).
     Returns:
       step(state, batch, lr) -> (state, metrics); batch is a dict with NHWC
       float32 H1,P1,D1,H2,P2,D2 (P* are (B,H,W,21) heatmaps).
@@ -94,6 +101,13 @@ def make_train_step(system: MMHandSystem, l1_loss):
 
         def loss_fn(params):
             p = NetState(params, net.batch_stats)
+            if fused_d_forward:
+                both = jnp.concatenate([real, fake_pool], axis=0)
+                pred, bs2 = apply_d(module, p, both, k1)
+                nb = real.shape[0]
+                loss_real = gan_loss(pred[:nb], True, gan_mode) * lam_gan
+                loss_fake = gan_loss(pred[nb:], False, gan_mode) * lam_gan
+                return (loss_real + loss_fake) * 0.5, bs2
             pred_real, bs1 = apply_d(module, p, real, k1)
             loss_real = gan_loss(pred_real, True, gan_mode) * lam_gan
             pred_fake, bs2 = apply_d(

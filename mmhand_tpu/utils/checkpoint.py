@@ -13,7 +13,7 @@ label, with the same `latest` + per-epoch labeling scheme.  Single-write
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

@@ -14,7 +14,6 @@ import contextlib
 import dataclasses
 import os
 import time
-from typing import Optional
 
 import jax
 
