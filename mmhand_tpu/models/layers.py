@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -155,12 +156,14 @@ class StridedConv(nn.Module):
 
 
 class UpConv(nn.Module):
-    """2x upsampling, replacing torch ConvTranspose2d(k=3, s=2, p=1, op=1)
-    (reference models/Generator.py:243-253).
+    """2x upsampling == torch ConvTranspose2d(k=3, s=2, p=1, op=1)
+    (reference models/Generator.py:243-253), implemented as an explicit
+    input-dilated convolution so the geometry AND numerics match torch
+    exactly (enables 1:1 weight ports, tools/convert_mmhand_torch.py):
 
-    Implemented as ConvTranspose SAME/stride-2, which produces the same 2x
-    output geometry.  (Weight layouts differ from torch; we port behavior,
-    not tensors.)
+    lhs_dilation=2, padding=(k-1-p, k-1-p+output_padding)=(1, 2), with the
+    kernel stored in torch-convT orientation (HWOI of the equivalent
+    flipped conv) — see the converter for the layout contract.
     """
 
     features: int
@@ -169,16 +172,21 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(
-            self.features,
-            (3, 3),
-            strides=(2, 2),
-            padding="SAME",
-            use_bias=self.use_bias,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", conv_init,
+                            (3, 3, in_features, self.features), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvNormRelu(nn.Module):
