@@ -70,9 +70,13 @@ class HostLoader:
                  host_id: int = 0, num_hosts: int = 1,
                  shuffle: bool = True, num_threads: int = 4,
                  prefetch: int = 2, drop_last: bool = True,
-                 max_items: Optional[int] = None):
+                 max_items: Optional[int] = None, cache: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        # optional RAM cache of decoded raw items (pairing is fixed at
+        # dataset construction, so index-keyed caching is sound) — the
+        # HBM/RAM-resident small-dataset mode; sized ~330KB per 256px pair
+        self._cache: Optional[dict] = {} if cache else None
         self.seed = seed
         self.host_id = host_id
         self.num_hosts = num_hosts
@@ -89,8 +93,15 @@ class HostLoader:
         n = n // self.num_hosts
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _load_pair(self, i: int):
+        if self._cache is None:
+            return self.dataset.load_pair(i)
+        if i not in self._cache:
+            self._cache[i] = self.dataset.load_pair(i)
+        return self._cache[i]
+
     def _assemble(self, idxs) -> dict:
-        srcs, tgts = zip(*(self.dataset.load_pair(int(i)) for i in idxs))
+        srcs, tgts = zip(*(self._load_pair(int(i)) for i in idxs))
         return {
             "src_image": np.stack([s.image for s in srcs]),
             "src_depth": np.stack([s.depth for s in srcs]),

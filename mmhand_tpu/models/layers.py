@@ -104,7 +104,12 @@ def pad2d(x, pad: int, mode: str = "reflect"):
 
 class PadConv(nn.Module):
     """pad(k//2 or explicit) -> Conv(VALID). The reference's
-    ReflectionPad2d + Conv2d(padding=0) pattern."""
+    ReflectionPad2d + Conv2d(padding=0) pattern.
+
+    The hot 3x3/pad-1/reflect case routes through
+    ops.reflect_conv.conv3_reflect — a fused zero-pad conv plus exact
+    border corrections — because a materialized reflect pad cannot fuse
+    into the TPU conv op (measured ~17% of the whole train step)."""
 
     features: int
     kernel: int
@@ -116,17 +121,30 @@ class PadConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = pad2d(x, self.pad, self.pad_mode)
-        return nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="VALID",
-            use_bias=self.use_bias,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init,
+            (self.kernel, self.kernel, in_features, self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        bd = bias.astype(self.dtype) if bias is not None else None
+
+        if (self.kernel == 3 and self.pad == 1 and self.stride == 1
+                and self.pad_mode == "reflect"):
+            from mmhand_tpu.ops.reflect_conv import conv3_reflect
+            return conv3_reflect(xd, kd, bd)
+
+        xd = pad2d(xd, self.pad, self.pad_mode)
+        y = jax.lax.conv_general_dilated(
+            xd, kd, window_strides=(self.stride, self.stride),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bd is not None:
+            y = y + bd
+        return y
 
 
 class StridedConv(nn.Module):

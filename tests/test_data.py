@@ -182,3 +182,19 @@ class TestLoader:
         # depth planes replicate
         d1 = np.asarray(batch["D1"])
         np.testing.assert_allclose(d1[..., 0], d1[..., 2])
+
+    def test_cache_mode(self):
+        cfg = _cfg("", "synthetic", size=32, bsz=2)
+        ds = SyntheticHands(cfg, length=4)
+        loader = HostLoader(ds, 2, seed=1, cache=True)
+        b1 = list(loader.epoch(0))
+        assert len(loader._cache) == 4
+        calls = {"n": 0}
+        orig = ds.load_pair
+        ds.load_pair = lambda i: (calls.__setitem__("n", calls["n"] + 1),
+                                  orig(i))[1]
+        b2 = list(loader.epoch(1))
+        assert calls["n"] == 0  # second epoch fully served from cache
+        np.testing.assert_array_equal(
+            sorted(np.concatenate([b["src_uv"] for b in b1], 0).ravel()),
+            sorted(np.concatenate([b["src_uv"] for b in b2], 0).ravel()))

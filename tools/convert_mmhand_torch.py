@@ -125,11 +125,12 @@ def convert_generator(sd, n_downsampling: int = 2) -> dict:
         layers = _seq_layers(sd, prefix)
         convs = [i for i, kind in layers if kind == "conv"]
         bns = [i for i, kind in layers if kind == "bn"]
-        targets = ([(f"stream{s}_in", "PadConv_0")]
-                   + [(f"stream{s}_down{d}", "StridedConv_0")
+        # PadConv holds its kernel directly; StridedConv wraps nn.Conv
+        targets = ([(f"stream{s}_in", ("PadConv_0",))]
+                   + [(f"stream{s}_down{d}", ("StridedConv_0", "Conv_0"))
                       for d in range(n_downsampling)])
-        for (mod, conv_name), ci, bi in zip(targets, convs, bns):
-            tb.put_conv(sd, f"{prefix}.{ci}", mod, conv_name, "Conv_0")
+        for (mod, tail), ci, bi in zip(targets, convs, bns):
+            tb.put_conv(sd, f"{prefix}.{ci}", mod, *tail)
             tb.put_bn(sd, f"{prefix}.{bi}", mod, "Norm_0", "BatchNorm_0")
 
     # attention blocks
@@ -143,11 +144,11 @@ def convert_generator(sd, n_downsampling: int = 2) -> dict:
             bns = [i for i, kind in layers if kind == "bn"]
             stream = f"stream{snum}"
             tb.put_conv(sd, f"{prefix}.{convs[0]}", f"att{b}", stream,
-                        "ConvNormRelu_0", "PadConv_0", "Conv_0")
+                        "ConvNormRelu_0", "PadConv_0")
             tb.put_bn(sd, f"{prefix}.{bns[0]}", f"att{b}", stream,
                       "ConvNormRelu_0", "Norm_0", "BatchNorm_0")
             tb.put_conv(sd, f"{prefix}.{convs[1]}", f"att{b}", stream,
-                        "PadConv_0", "Conv_0")
+                        "PadConv_0")
             if len(bns) > 1:  # stream1 has a trailing norm (cal_att=False)
                 tb.put_bn(sd, f"{prefix}.{bns[1]}", f"att{b}", stream,
                           "Norm_0", "BatchNorm_0")
@@ -160,8 +161,7 @@ def convert_generator(sd, n_downsampling: int = 2) -> dict:
     for d in range(n_downsampling):
         tb.put_convt(sd, f"{prefix}.{convs[d]}", f"up{d}")
         tb.put_bn(sd, f"{prefix}.{bns[d]}", f"up{d}_norm", "BatchNorm_0")
-    tb.put_conv(sd, f"{prefix}.{convs[n_downsampling]}",
-                "out_conv", "Conv_0")
+    tb.put_conv(sd, f"{prefix}.{convs[n_downsampling]}", "out_conv")
     return tb.variables()
 
 
@@ -174,11 +174,11 @@ def convert_discriminator(sd, n_downsampling: int = 2) -> dict:
     # the trunk Sequential is saved as '<idx>.weight' after prefix strip
     convs = [i for i, kind in layers if kind == "conv"]
     bns = [i for i, kind in layers if kind == "bn"]
-    targets = ([("in_conv", "PadConv_0")]
-               + [(f"down{d}", "StridedConv_0")
+    targets = ([("in_conv", ("PadConv_0",))]
+               + [(f"down{d}", ("StridedConv_0", "Conv_0"))
                   for d in range(n_downsampling)])
-    for (mod, conv_name), ci, bi in zip(targets, convs, bns):
-        tb.put_conv(sd, f"{ci}", mod, conv_name, "Conv_0")
+    for (mod, tail), ci, bi in zip(targets, convs, bns):
+        tb.put_conv(sd, f"{ci}", mod, *tail)
         tb.put_bn(sd, f"{bi}", mod, "Norm_0", "BatchNorm_0")
 
     res_blocks = sorted({int(m.group(1)) for k in sd
@@ -190,11 +190,11 @@ def convert_discriminator(sd, n_downsampling: int = 2) -> dict:
         rconvs = [i for i, kind in layers if kind == "conv"]
         rbns = [i for i, kind in layers if kind == "bn"]
         tb.put_conv(sd, f"{prefix}.{rconvs[0]}", f"res{r}",
-                    "ConvNormRelu_0", "PadConv_0", "Conv_0")
+                    "ConvNormRelu_0", "PadConv_0")
         tb.put_bn(sd, f"{prefix}.{rbns[0]}", f"res{r}",
                   "ConvNormRelu_0", "Norm_0", "BatchNorm_0")
         tb.put_conv(sd, f"{prefix}.{rconvs[1]}", f"res{r}",
-                    "PadConv_0", "Conv_0")
+                    "PadConv_0")
         tb.put_bn(sd, f"{prefix}.{rbns[1]}", f"res{r}",
                   "Norm_0", "BatchNorm_0")
     return tb.variables()
