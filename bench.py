@@ -17,9 +17,9 @@ from __future__ import annotations
 import json
 import time
 
-from mmhand_tpu.utils.fast_prng import enable_fast_prng
+from mmhand_tpu.utils.runtime import setup_runtime
 
-enable_fast_prng()  # hardware RNG for dropout masks: ~25% step-time win
+setup_runtime()  # fast PRNG + persistent compile cache
 
 import jax
 import jax.numpy as jnp

@@ -29,20 +29,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _conv1d(x, w):
-    """x: (B, L, Cin); w: (3, Cin, Cout); zero-SAME -> (B, L, Cout)."""
-    return jax.lax.conv_general_dilated(
-        x[:, :, None, :], w[:, None, :, :],
-        window_strides=(1, 1), padding=((1, 1), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :, 0, :]
-
-
 def _conv1d_valid(x, w):
-    """x: (B, L+2, Cin); w: (3, Cin, Cout); VALID -> (B, L, Cout)."""
-    return jax.lax.conv_general_dilated(
-        x[:, :, None, :], w[:, None, :, :],
-        window_strides=(1, 1), padding=((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :, 0, :]
+    """3-tap 1-D conv as shifted matmuls (width-1 lax convs trigger TPU
+    compiler crashes when fused into larger graphs at small spatial sizes).
+
+    x: (B, L+2, Cin); w: (3, Cin, Cout); VALID -> (B, L, Cout)."""
+    dot = lambda a, k: jax.lax.dot_general(
+        a, k, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return (dot(x[:, :-2], w[0]) + dot(x[:, 1:-1], w[1])
+            + dot(x[:, 2:], w[2]))
+
+
+def _conv1d(x, w):
+    """zero-SAME variant: x: (B, L, Cin) -> (B, L, Cout)."""
+    xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0)])
+    return _conv1d_valid(xp, w)
 
 
 def conv3_reflect(x, kernel, bias=None):

@@ -21,6 +21,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from mmhand_tpu.utils.runtime import setup_runtime  # noqa: E402
+
+setup_runtime()
+
 import numpy as np  # noqa: E402
 from PIL import Image  # noqa: E402
 

@@ -19,9 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from mmhand_tpu.utils.fast_prng import enable_fast_prng  # noqa: E402
+from mmhand_tpu.utils.runtime import setup_runtime  # noqa: E402
 
-enable_fast_prng()  # before any jax backend use; ~25% step-time win
+setup_runtime()  # fast PRNG + persistent compile cache
 
 from mmhand_tpu.config import Config, add_cli_args, from_cli_args  # noqa: E402
 from mmhand_tpu.train.loop import train  # noqa: E402

@@ -14,9 +14,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from mmhand_tpu.utils.fast_prng import enable_fast_prng  # noqa: E402
+from mmhand_tpu.utils.runtime import setup_runtime  # noqa: E402
 
-enable_fast_prng()
+setup_runtime()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
