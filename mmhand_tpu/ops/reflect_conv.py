@@ -1,26 +1,31 @@
-"""Fast exact reflect-padded 3x3 convolution.
+"""Fast exact reflect-padded convolution (stride 1, odd kernel).
 
-The reference architecture reflect-pads before every 3x3 conv
-(reference models/Generator.py:50-58).  On TPU, `jnp.pad(mode='reflect')`
-materializes a new (H+2, W+2) tensor per conv that XLA cannot fuse into the
-convolution (only zero padding is native to the conv op) — measured cost:
-~17% of the whole MM-Hand train step (40.5 -> 48.5 img/s with zero pad).
+The reference architecture reflect-pads before its convs — 1 px for every
+3x3 (reference models/Generator.py:50-58) and 3 px for the 7x7 stems
+(reference :158-165).  On TPU, `jnp.pad(mode='reflect')` materializes a new
+padded tensor per conv that XLA cannot fuse into the convolution (only zero
+padding is native) — measured cost: ~17% of the whole MM-Hand train step.
 
 This module computes the SAME result without materializing the pad, using
 linearity of convolution:
 
-    conv_valid(reflect_pad(x)) = conv_same_zero(x) + conv_valid(halo)
+    conv_valid(reflect_pad(x, p)) = conv_same_zero(x) + conv(halo)
 
-where `halo` is the 1-px reflected ring.  The ring's contribution only
-touches the output border and decomposes into four cheap 1-D convolutions:
+and the halo contribution decomposes into cheap 1-D convolutions along the
+borders (O(W*C^2) each vs the full conv's O(H*W*C^2)):
 
-  top row   (incl. corners): halo(-1, j) = x[1, refl(j)]  -> kernel row w[0]
-  bottom row (incl. corners): halo(H, j) = x[H-2, refl(j)] -> kernel row w[2]
-  left col  (excl. corners): halo(i, -1) = x[i, 1]        -> kernel col w[:,0]
-  right col (excl. corners): halo(i, W)  = x[i, W-2]      -> kernel col w[:,2]
+* top/bottom: for each of the p border output rows, the kernel rows that
+  fall outside the image read reflected rows; each (border row, kernel row)
+  pair is one k-tap 1-D conv over a column-reflect-extended row.
+* left/right: the remaining missing taps (in-range rows, out-of-range
+  columns) are k-tap 1-D convs down reflected columns with zero row
+  padding (row-out-of-range cells are already covered by top/bottom).
 
-Each 1-D conv is O(W*C^2) vs the full conv's O(H*W*C^2) — negligible.
-Exactness is tested against jnp.pad reflect + VALID conv.
+The 1-D convs are expressed as shifted matmuls: width-1 `lax.conv` forms
+trigger XLA:TPU compiler crashes (SIGABRT) when fused into large graphs at
+small spatial sizes.
+
+Exactness is tested against jnp.pad reflect + VALID conv for k=3 and k=7.
 """
 
 from __future__ import annotations
@@ -30,55 +35,91 @@ import jax.numpy as jnp
 
 
 def _conv1d_valid(x, w):
-    """3-tap 1-D conv as shifted matmuls (width-1 lax convs trigger TPU
-    compiler crashes when fused into larger graphs at small spatial sizes).
+    """k-tap 1-D conv as shifted matmuls.
 
-    x: (B, L+2, Cin); w: (3, Cin, Cout); VALID -> (B, L, Cout)."""
-    dot = lambda a, k: jax.lax.dot_general(
-        a, k, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    return (dot(x[:, :-2], w[0]) + dot(x[:, 1:-1], w[1])
-            + dot(x[:, 2:], w[2]))
+    x: (B, L + k - 1, Cin); w: (k, Cin, Cout); VALID -> (B, L, Cout)."""
+    k = w.shape[0]
+    length = x.shape[1] - k + 1
+
+    def dot(a, kk):
+        return jax.lax.dot_general(
+            a, kk, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    acc = dot(x[:, 0:length], w[0])
+    for t in range(1, k):
+        acc = acc + dot(x[:, t:t + length], w[t])
+    return acc
 
 
-def _conv1d(x, w):
-    """zero-SAME variant: x: (B, L, Cin) -> (B, L, Cout)."""
-    xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0)])
+def _conv1d_same(x, w, pad: int):
+    """zero-padded variant: x: (B, L, Cin) -> (B, L, Cout)."""
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (0, 0)])
     return _conv1d_valid(xp, w)
 
 
-def conv3_reflect(x, kernel, bias=None):
-    """Exact reflect-pad(1) + 3x3 VALID conv, NHWC.
+def _reflect_ext(row, p: int):
+    """Reflect-extend the length axis by p on each side: (B, W, C) ->
+    (B, W + 2p, C)."""
+    left = row[:, 1:p + 1][:, ::-1]
+    right = row[:, -p - 1:-1][:, ::-1]
+    return jnp.concatenate([left, row, right], axis=1)
+
+
+def conv_reflect(x, kernel, bias=None):
+    """Exact reflect-pad(p) + kxk VALID conv, NHWC, stride 1, k odd.
 
     Args:
-      x: (B, H, W, Cin); kernel: (3, 3, Cin, Cout); bias: (Cout,) or None.
+      x: (B, H, W, Cin); kernel: (k, k, Cin, Cout); bias: (Cout,) or None.
     Returns:
-      (B, H, W, Cout), identical to
-      conv(jnp.pad(x, reflect), VALID) to float accuracy.
+      (B, H, W, Cout), identical to conv(jnp.pad(x, reflect), VALID).
     """
+    k = kernel.shape[0]
+    p = k // 2
     y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    w = x.shape[2]
+    h = x.shape[1]
 
-    def row_ext(row):
-        # reflected column extension including both corners: (B, W+2, C)
-        return jnp.concatenate(
-            [row[:, 1:2], row, row[:, w - 2:w - 1]], axis=1)
+    # --- top/bottom border rows (these also cover the corners)
+    for i in range(p):
+        corr = None
+        for t in range(p - i):
+            # kernel row t reads input row i-p+t < 0 -> reflected row p-i-t
+            c = _conv1d_valid(_reflect_ext(x[:, p - i - t], p), kernel[t])
+            corr = c if corr is None else corr + c
+        y = y.at[:, i].add(corr)
 
-    # top halo row = x[1] (reflection of row -1), consumed by kernel row 0
-    top = _conv1d_valid(row_ext(x[:, 1]), kernel[0])
-    # bottom halo row = x[H-2], consumed by kernel row 2
-    bot = _conv1d_valid(row_ext(x[:, -2]), kernel[2])
-    # left/right halo columns (corners already covered above)
-    left = _conv1d(x[:, :, 1], kernel[:, 0])
-    right = _conv1d(x[:, :, -2], kernel[:, 2])
+        corr = None
+        for u in range(p - i):
+            # kernel row p+i+1+u reads row >= H -> reflected row H-2-u
+            c = _conv1d_valid(_reflect_ext(x[:, h - 2 - u], p),
+                              kernel[p + i + 1 + u])
+            corr = c if corr is None else corr + c
+        y = y.at[:, -1 - i].add(corr)
 
-    y = y.at[:, 0, :, :].add(top)
-    y = y.at[:, -1, :, :].add(bot)
-    y = y.at[:, :, 0, :].add(left)
-    y = y.at[:, :, -1, :].add(right)
+    # --- left/right border columns (in-range rows only: zero row padding)
+    w_dim = x.shape[2]
+    for j in range(p):
+        corr = None
+        for t in range(p - j):
+            c = _conv1d_same(x[:, :, p - j - t], kernel[:, t], p)
+            corr = c if corr is None else corr + c
+        y = y.at[:, :, j].add(corr)
+
+        corr = None
+        for u in range(p - j):
+            c = _conv1d_same(x[:, :, w_dim - 2 - u], kernel[:, p + j + 1 + u],
+                             p)
+            corr = c if corr is None else corr + c
+        y = y.at[:, :, -1 - j].add(corr)
+
     if bias is not None:
         y = y + bias
     return y
+
+
+def conv3_reflect(x, kernel, bias=None):
+    """3x3 special case (kept as the public name used by PadConv)."""
+    return conv_reflect(x, kernel, bias)

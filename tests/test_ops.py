@@ -177,3 +177,49 @@ class TestSSIM:
         noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
         val = float(ops.ssim(img, noisy))
         assert 0.0 < val < 0.9
+
+
+class TestReflectConv:
+    def test_exact_vs_padded_conv_k3_k7(self):
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.ops.reflect_conv import conv_reflect
+        rng = np.random.RandomState(0)
+        for k, shape in [(3, (2, 8, 8, 4, 5)), (7, (2, 12, 12, 4, 5)),
+                         (5, (1, 10, 11, 3, 4))]:
+            p = k // 2
+            b, h, w, cin, cout = shape
+            x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+            kern = jnp.asarray(rng.normal(size=(k, k, cin, cout))
+                               .astype(np.float32))
+            bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+            ref = jax.lax.conv_general_dilated(
+                jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect"),
+                kern, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+            got = conv_reflect(x, kern, bias)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4)
+
+    def test_gradients_match_padded_conv(self):
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.ops.reflect_conv import conv_reflect
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.normal(size=(1, 6, 6, 3)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(3, 3, 3, 2)).astype(np.float32))
+
+        def loss_fast(x, k):
+            return jnp.sum(conv_reflect(x, k) ** 2)
+
+        def loss_ref(x, k):
+            y = jax.lax.conv_general_dilated(
+                jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect"),
+                k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y ** 2)
+
+        gx1, gk1 = jax.grad(loss_fast, argnums=(0, 1))(x, kern)
+        gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=1e-4)
