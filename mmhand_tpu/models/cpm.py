@@ -132,6 +132,56 @@ class Hpm2d(nn.Module):
                 for o in outputs]
 
 
+def load_cpm_state_dict(sd) -> dict:
+    """Reference Hpm2d/Hpm3d torch state_dict (or its .npz dump) -> flax
+    params for the modules above.  Torch keys: 'convX_Y(_CPM).weight',
+    'stageN.convM.weight', 'depth.convM.weight' (hpm3d), 'depth_fc_N.weight'
+    (Linear).  DataParallel 'module.' prefixes are stripped
+    (reference hpe_estimator.py:149-160)."""
+    import numpy as np
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    params: dict = {}
+
+    def put(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(value)
+
+    for key, val in sd.items():
+        base, leaf = key.rsplit(".", 1)
+        v = to_np(val)
+        if base.startswith("depth_fc"):
+            # torch Linear (out, in) -> Dense kernel (in, out)
+            put((base, "kernel" if leaf == "weight" else "bias"),
+                v.T if leaf == "weight" else v)
+            continue
+        if leaf == "weight":
+            leaf_name, v = "kernel", np.transpose(v, (2, 3, 1, 0))
+        else:
+            leaf_name = "bias"
+        parts = base.split(".")
+        if len(parts) == 2:          # stageN.convM / depth.convM
+            put((parts[0], parts[1], "Conv_0", leaf_name), v)
+        elif parts[0].startswith("conv6"):   # first-stage head, top level
+            put((parts[0], "Conv_0", leaf_name), v)
+        else:                         # trunk convs
+            put(("trunk", parts[0], "Conv_0", leaf_name), v)
+    return {"params": params}
+
+
+def load_cpm_npz(path: str) -> dict:
+    import numpy as np
+
+    return load_cpm_state_dict(dict(np.load(path)))
+
+
 class Hpm3d(nn.Module):
     """21 heatmaps -> 21 z values (reference net_hpm3d.py:27-145)."""
 

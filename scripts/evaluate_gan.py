@@ -76,10 +76,11 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
     judge = None
     if with_pck:
         if hpm2d_npz and hpm3d_npz:
-            raise NotImplementedError(
-                "CPM npz loading: train a judge with scripts/train_hpe.py "
-                "and point --name at it instead")
-        judge = HPEJudge.random_init(size=cfg.model.fine_size)
+            from mmhand_tpu.models.cpm import load_cpm_npz
+            judge = HPEJudge(load_cpm_npz(hpm2d_npz),
+                             load_cpm_npz(hpm3d_npz))
+        else:
+            judge = HPEJudge.random_init(size=cfg.model.fine_size)
 
     evaluator = Evaluator(inception_vars=inception_vars, judge=judge)
 

@@ -102,3 +102,56 @@ class TestDiscriminatorParity:
             want = _nhwc(td(_nchw(x)))
         got = np.asarray(d.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _import_reference_cpm(name):
+    """Import the standalone reference CPM net file from a runtime temp copy
+    (the package's __init__ pulls apex; the net files themselves are
+    torch-only)."""
+    import importlib.util
+    import shutil
+    import tempfile
+
+    src = ("/root/reference/baselines/quantitative_on_benchmarks/networks/"
+           f"{name}.py")
+    tmp = tempfile.mkdtemp(prefix="refcpm_")
+    dst = shutil.copy(src, tmp)
+    spec = importlib.util.spec_from_file_location(name, dst)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestCPMParity:
+    def test_hpm2d_forward_matches_reference(self):
+        TorchHpm2d = _import_reference_cpm("net_hpm2d").Hpm2d
+        from mmhand_tpu.models.cpm import Hpm2d, load_cpm_state_dict
+
+        t = TorchHpm2d(21, 3, False).eval()
+        variables = load_cpm_state_dict(t.state_dict())
+        net = Hpm2d(21, dtype=jnp.float32)
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = [_nhwc(o) for o in t(_nchw(x))]
+        got = net.apply(variables, jnp.asarray(x))
+        assert len(got) == len(want) == 6
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, atol=3e-4)
+
+    def test_hpm3d_forward_matches_reference(self):
+        TorchHpm3d = _import_reference_cpm("net_hpm3d").Hpm3d
+        from mmhand_tpu.models.cpm import Hpm3d, load_cpm_state_dict
+
+        t = TorchHpm3d(21, 21).eval()
+        variables = load_cpm_state_dict(t.state_dict())
+        net = Hpm3d(21, dtype=jnp.float32)
+
+        rng = np.random.RandomState(1)
+        # the depth FC is sized for 256px inputs (21*32*32 flatten)
+        x = rng.uniform(0, 1, (1, 256, 256, 21)).astype(np.float32)
+        with torch.no_grad():
+            want = t(_nchw(x).contiguous()).numpy()
+        got = np.asarray(net.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=3e-3, rtol=1e-3)
