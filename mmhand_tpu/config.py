@@ -108,6 +108,8 @@ class DataConfig:
     n_threads: int = 8           # --nThreads (host-side prep workers)
     seed: int = 49               # --seed
     pair_lst: str = ""           # --pairLst (MMHand CSV dataset)
+    image_root: str = ""         # --imageroot (MMHand CSV dataset images)
+    pose_root: str = ""          # --poseroot (MMHand CSV dataset .npy maps)
     sigma: float = 6.0           # GAN heatmap sigma (reference generic_dataset.py:145)
 
 
@@ -212,6 +214,8 @@ _FLAG_MAP = [
     ("--augmentation_ratio", "data.augmentation_ratio", float, "train split ratio"),
     ("--augmentation_method", "data.augmentation_method", str, ""),
     ("--pairLst", "data.pair_lst", str, "pair CSV (MMHand dataset)"),
+    ("--imageroot", "data.image_root", str, "image root (MMHand dataset)"),
+    ("--poseroot", "data.pose_root", str, "pose-map root (MMHand dataset)"),
     ("--max_dataset_size", "data.max_dataset_size", int, "cap dataset size"),
     ("--seed", "data.seed", int, "rng seed"),
     ("--nThreads", "data.n_threads", int, "host data workers"),
@@ -221,6 +225,7 @@ _STORE_TRUE = [
     ("--no_dropout", "model.use_dropout_g", True),   # invert
     ("--no_dropout_D", "model.use_dropout_d", True),
     ("--serial_batches", "data.serial_batches", False),
+    ("--use_flip", "data.use_flip", False),
     ("--continue_train", "run.continue_train", False),
     # --no_lsgan kept for CLI parity; the reference ignores it
     # (models/network_utils.py:141 always BCE) and so do we by default.

@@ -69,7 +69,16 @@ def compute_pose_maps(annotations_csv: str, save_path: str,
 
 
 class MMHandCSVDataset:
-    """Paired dataset over a CSV pair list + precomputed pose maps."""
+    """Paired dataset over a CSV pair list + precomputed pose maps.
+
+    `prerendered = True` marks the HostLoader protocol variant: items are
+    already full float32 H1..D2 dicts (pose maps come precomputed from
+    `.npy`, depth is an RGB image normalized like the hand image —
+    reference data/mmhand_dataset.py:73-106), so the device prepare step is
+    a passthrough instead of the heatmap/depth renderer.
+    """
+
+    prerendered = True
 
     def __init__(self, image_root: str, pose_root: str, pair_lst: str,
                  phase: str = "train", use_flip: bool = False,
@@ -84,6 +93,21 @@ class MMHandCSVDataset:
         pairs = pd.read_csv(pair_lst)
         self.pairs = [[pairs.iloc[i]["from"], pairs.iloc[i]["to"]]
                       for i in range(len(pairs))]
+
+    @classmethod
+    def from_config(cls, cfg) -> "MMHandCSVDataset":
+        """Build from the Config flag surface (--imageroot/--poseroot/
+        --pairLst/--use_flip/--phase; reference
+        data/mmhand_dataset_data_loader.py:12-17 + options/base_options.py:
+        16-19,126-128)."""
+        if not cfg.data.pair_lst:
+            raise ValueError("--dataset MMHand requires --pairLst")
+        return cls(image_root=cfg.data.image_root or cfg.data.dataroot,
+                   pose_root=cfg.data.pose_root or cfg.data.dataroot,
+                   pair_lst=cfg.data.pair_lst,
+                   phase=cfg.run.phase if not cfg.is_train else "train",
+                   use_flip=cfg.data.use_flip,
+                   seed=cfg.data.seed)
 
     def __len__(self):
         return len(self.pairs)

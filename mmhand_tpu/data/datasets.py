@@ -177,4 +177,7 @@ def build_dataset(cfg: Config):
         return STBCrops(cfg)
     if name == "synthetic":
         return SyntheticHands(cfg)
+    if name == "mmhand":
+        from mmhand_tpu.data.csv_dataset import MMHandCSVDataset
+        return MMHandCSVDataset.from_config(cfg)
     raise ValueError(f"unknown dataset [{cfg.data.dataset}]")

@@ -16,8 +16,9 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 
 from __future__ import annotations
 
-import queue
-import threading
+import itertools
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import jax
@@ -43,10 +44,17 @@ def host_shard(indices: np.ndarray, host_id: int, num_hosts: int) -> np.ndarray:
 
 
 def make_prepare_batch(sigma: float = 6.0):
-    """Jitted device program: raw host arrays -> train-step batch."""
+    """Jitted device program: raw host arrays -> train-step batch.
+
+    Prerendered batches (MMHand CSV dataset: H1..D2 already float32, pose
+    maps precomputed) pass through untouched."""
 
     @jax.jit
-    def prepare(raw):
+    def prepare_prerendered(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items()}
+
+    @jax.jit
+    def prepare_raw(raw):
         def render(img_u8, depth_u16, uv):
             h = img_u8.shape[1]
             img = normalize_image(img_u8)
@@ -59,6 +67,11 @@ def make_prepare_batch(sigma: float = 6.0):
         h1, p1, d1 = render(raw["src_image"], raw["src_depth"], raw["src_uv"])
         h2, p2, d2 = render(raw["tgt_image"], raw["tgt_depth"], raw["tgt_uv"])
         return {"H1": h1, "P1": p1, "D1": d1, "H2": h2, "P2": p2, "D2": d2}
+
+    def prepare(raw):
+        if "H1" in raw:
+            return prepare_prerendered(raw)
+        return prepare_raw(raw)
 
     return prepare
 
@@ -101,6 +114,14 @@ class HostLoader:
         return self._cache[i]
 
     def _assemble(self, idxs) -> dict:
+        if getattr(self.dataset, "prerendered", False):
+            # MMHand CSV dataset: items are full rendered dicts
+            items = [self.dataset[int(i)] for i in idxs]
+            out = {k: np.stack([it[k] for it in items])
+                   for k in ("H1", "P1", "D1", "H2", "P2", "D2")}
+            out["src_paths"] = [it["H1_path"] for it in items]
+            out["tgt_paths"] = [it["H2_path"] for it in items]
+            return out
         srcs, tgts = zip(*(self._load_pair(int(i)) for i in idxs))
         return {
             "src_image": np.stack([s.image for s in srcs]),
@@ -126,23 +147,19 @@ class HostLoader:
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def worker():
-            try:
-                for b in batches:
-                    q.put(self._assemble(b))
-                q.put(sentinel)
-            except BaseException as e:  # surface worker errors to the caller
-                q.put(e)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        # N decode workers pipeline whole batches (PIL releases the GIL
+        # during decode); results are yielded strictly in order.  Replaces
+        # the round-1 single assembly thread, which SURVEY §3.1 predicted
+        # would starve the chip on real RHD-scale data.
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            window = self.prefetch + self.num_threads
+            it = iter(batches)
+            inflight: deque = deque(
+                ex.submit(self._assemble, b)
+                for b in itertools.islice(it, window))
+            while inflight:
+                item = inflight.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(ex.submit(self._assemble, nxt))
+                yield item

@@ -12,6 +12,7 @@ SSIM_std, pck2d_auc, pck3d_auc} — plus 'fid' (north-star addition).
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Optional
 
 import jax
@@ -57,16 +58,25 @@ class HPEJudge:
 
         self._predict = predict
 
+    random_weights = False
+
     @classmethod
     def random_init(cls, rng=None, num_joints: int = 21, size: int = 256):
         """Judge with random weights — exercises the full pipeline when no
         trained/converted CPM weights are available."""
+        warnings.warn(
+            "HPEJudge running with RANDOM CPM weights: pck2d_auc/pck3d_auc "
+            "are structural pipeline checks, NOT comparable metrics "
+            "(pass --hpm2d_npz/--hpm3d_npz converted weights for real "
+            "numbers)", stacklevel=2)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(rng)
         v2d = Hpm2d(num_joints).init(k1, jnp.zeros((1, size, size, 3)))
         v3d = Hpm3d(num_joints).init(
             k2, jnp.zeros((1, size, size, num_joints)))
-        return cls(v2d, v3d, num_joints)
+        judge = cls(v2d, v3d, num_joints)
+        judge.random_weights = True
+        return judge
 
     def feed(self, images, gt_xyz):
         """images: (B, H, W, 3) in [-1, 1]; gt_xyz: (B, 21, 3) with real
@@ -95,7 +105,13 @@ class Evaluator:
                  judge: Optional[HPEJudge] = None,
                  compute_fid: bool = True):
         self.inception = Inception3()
+        self.random_inception = inception_vars is None
         if inception_vars is None:
+            warnings.warn(
+                "Evaluator running with RANDOM Inception-v3 weights: "
+                "IS/FID are structural pipeline checks, NOT comparable "
+                "metrics (pass --inception_npz converted weights for real "
+                "numbers)", stacklevel=2)
             inception_vars = self.inception.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
         self.inc_vars = inception_vars
@@ -113,6 +129,33 @@ class Evaluator:
             return logits, pool
 
         self._inception_fwd = inception_fwd
+
+    @staticmethod
+    def create_input_image(xyz, size: int = 256) -> np.ndarray:
+        """Synthesize the conditioning image from xyz alone
+        (reference utils.py:113-125 _create_input_image): depth-colored
+        bone jointsmap, minmax-normalized to [0, 1], replicated to 3
+        channels.  Lets the evaluator (and the pix2pix/cyclegan-style
+        baseline judges) score pose-only inputs with no loader-supplied
+        conditioning.
+
+        Args:
+          xyz: (B, 21, 3) or (21, 3); z in the reference's pixel-ish scale
+            (pass raw_z/700*255 for crop-tree data, see scripts/).
+        Returns:
+          (B, H, W, 3) float32 in [0, 1].
+        """
+        from mmhand_tpu.ops.jointsmap import generate_jointsmap
+
+        xyz = np.asarray(xyz, np.float32)
+        if xyz.ndim == 2:
+            xyz = xyz[None]
+        uv, z = xyz[:, :, :2], xyz[:, :, 2]
+        jm = np.asarray(generate_jointsmap(uv, z, size, size))  # (B, H, W)
+        lo = jm.min(axis=(1, 2), keepdims=True)
+        hi = jm.max(axis=(1, 2), keepdims=True)
+        jm = (jm - lo) / np.maximum(hi - lo, 1e-6)
+        return np.repeat(jm[..., None], 3, axis=-1).astype(np.float32)
 
     def feed(self, pred_images, gt_images, gt_xyz=None):
         """pred/gt: (B, H, W, 3) in [-1, 1]; gt_xyz: optional (B, 21, 3)."""
@@ -162,6 +205,14 @@ class Evaluator:
             scores["fid"] = fid_from_features(
                 np.concatenate(self._pool_real, 0),
                 np.concatenate(self._pool_fake, 0))
+        # impossible-to-miss provenance field (VERDICT r1 item 5)
+        random_bits = []
+        if self.random_inception:
+            random_bits.append("inception")
+        if self.judge is not None and self.judge.random_weights:
+            random_bits.append("cpm")
+        scores["weights"] = (
+            "random:" + "+".join(random_bits) if random_bits else "loaded")
         return scores
 
     def clean(self):

@@ -14,6 +14,8 @@ north star (BASELINE.md).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from scipy import linalg
 
@@ -92,6 +94,12 @@ def fid_from_features(feat_real, feat_fake, eps: float = 1e-6) -> float:
     """Fréchet Inception Distance between two pool-feature sets.
 
     ||mu_r - mu_f||^2 + Tr(S_r + S_f - 2 (S_r S_f)^{1/2}).
+
+    With fewer samples than feature dims (<2048 for Inception-v3 pool3) the
+    covariances are rank-deficient and sqrtm is numerically unstable: the
+    eps ridge is applied PRE-emptively in that regime (and a warning
+    emitted) rather than only after a non-finite result — silently degraded
+    small-sample FIDs were a round-1 weak spot.
     """
     f1 = np.asarray(feat_real, np.float64)
     f2 = np.asarray(feat_fake, np.float64)
@@ -99,9 +107,18 @@ def fid_from_features(feat_real, feat_fake, eps: float = 1e-6) -> float:
     s1 = np.cov(f1, rowvar=False)
     s2 = np.cov(f2, rowvar=False)
     diff = mu1 - mu2
+    d = s1.shape[0]
+    if min(f1.shape[0], f2.shape[0]) <= d:
+        warnings.warn(
+            f"FID from {f1.shape[0]} real / {f2.shape[0]} fake samples with "
+            f"{d}-dim features: covariance is singular; applying eps ridge. "
+            "Use >2048 samples for a publication-grade FID.", stacklevel=2)
+        offset = np.eye(d) * eps
+        s1 = s1 + offset
+        s2 = s2 + offset
     covmean = linalg.sqrtm(s1 @ s2)
     if not np.isfinite(covmean).all():
-        offset = np.eye(s1.shape[0]) * eps
+        offset = np.eye(d) * eps
         covmean = linalg.sqrtm((s1 + offset) @ (s2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real

@@ -84,6 +84,19 @@ class HPEMixDataset:
     def __len__(self):
         return len(self.paths)
 
+    def update_parameters(self):
+        """Curriculum hook (reference data/base_dataset.py:62-67, called
+        every 5 epochs from train.py:89-91): each `updatable_<name>`
+        attribute is bumped by the matching `step_<name>`.  The reference's
+        only consumer is the MSRA rotation-augmentation curriculum
+        (msrahand_dataset.py:740-741); any subclass/instance attr pair
+        participates here the same way."""
+        for k, v in list(self.__dict__.items()):
+            parts = k.split("_")
+            if parts[0] == "updatable":
+                setattr(self, k,
+                        v + getattr(self, "step_" + "_".join(parts[1:])))
+
     def _labels(self, path: str):
         if self.annotations is None:
             rng = np.random.default_rng(abs(hash(path)) % (2 ** 63))

@@ -67,8 +67,14 @@ class HPESystem:
                            Hpm2d(self.num_joints, dtype=self.dtype))
         object.__setattr__(self, "hpm3d",
                            Hpm3d(self.num_joints, dtype=self.dtype))
-        object.__setattr__(self, "tx", optax.adam(
-            self.lr, b1=self.beta1, b2=self.beta2))
+        # lr applied as a traced scalar in the step (per-epoch schedule
+        # without re-jit — same pattern as the GAN step); reference uses
+        # apex FusedAdam + torch schedulers
+        # (hand_pose_estimators/CVPR2020_hpm3d/models/networks/__init__.py:
+        # 19-182, base_model.py:165-244)
+        object.__setattr__(self, "tx", optax.chain(
+            optax.scale_by_adam(b1=self.beta1, b2=self.beta2, eps=1e-8),
+            optax.scale(-1.0)))
 
     def init_state(self, rng, size: int = 256) -> HPETrainState:
         k2, k3 = jax.random.split(rng)
@@ -82,17 +88,17 @@ class HPESystem:
 
 
 def make_hpe_train_step(system: HPESystem):
-    """step(state, batch) -> (state, metrics).
+    """step(state, batch, lr) -> (state, metrics).
 
     batch: {image (B,S,S,3) in [-1,1], heatmaps (B,S,S,21) sigma-5 GT,
-            z (B,21) depth/0.7, weight (B,) 0/1}.
+            z (B,21) depth/0.7, weight (B,) 0/1}; lr is a traced scalar.
     """
     axis = system.axis_name
 
     def psync(tree):
         return jax.lax.pmean(tree, axis) if axis else tree
 
-    def train_step(state: HPETrainState, batch):
+    def train_step(state: HPETrainState, batch, lr):
         image, heat = batch["image"], batch["heatmaps"]
         z, w = batch["z"], batch["weight"]
 
@@ -116,6 +122,8 @@ def make_hpe_train_step(system: HPESystem):
 
         up2d, opt2d = system.tx.update(g2d, state.opt2d, state.params2d)
         up3d, opt3d = system.tx.update(g3d, state.opt3d, state.params3d)
+        up2d = jax.tree.map(lambda u: u * lr, up2d)
+        up3d = jax.tree.map(lambda u: u * lr, up3d)
         new_state = state.replace(
             step=state.step + 1,
             params2d=optax.apply_updates(state.params2d, up2d),
@@ -125,3 +133,23 @@ def make_hpe_train_step(system: HPESystem):
         return new_state, metrics
 
     return train_step
+
+
+def make_sharded_hpe_train_step(system: HPESystem, mesh):
+    """Data-parallel HPE step: batch sharded over the mesh's data axis,
+    params/optimizer replicated, grads pmean'd inside (the APEX-DDP
+    equivalent for the HPE trainer — reference
+    hand_pose_estimators/CVPR2020_hpm3d/models/networks/__init__.py:100-139
+    `_networks_DDP`).  `system.axis_name` must match the mesh axis."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = system.axis_name
+    assert axis is not None, "system must be built with axis_name for DP"
+    core = make_hpe_train_step(system)
+    sharded = shard_map(
+        core, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -34,10 +34,12 @@ class L1PlusPerceptual:
     perceptual_layers: int = 3
     percep_is_l1: bool = True
     vgg_variables: Optional[Any] = None  # {'params': ...}; frozen features
+    dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
         object.__setattr__(
-            self, "_vgg", VGG19Features(truncate_at=self.perceptual_layers))
+            self, "_vgg", VGG19Features(truncate_at=self.perceptual_layers,
+                                        dtype=self.dtype))
 
     def init_vgg(self, rng, image_shape=(1, 256, 256, 3)):
         """Random-init VGG params (fallback when no converted weights)."""

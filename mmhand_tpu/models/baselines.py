@@ -105,11 +105,12 @@ class _UnetBlock(nn.Module):
         if self.submodule is not None:
             h = self.submodule(h, train)
         h = nn.relu(h)
-        h = nn.ConvTranspose(self.outer_nc, (4, 4), strides=(2, 2),
-                             padding="SAME",
-                             use_bias=self.norm.use_bias or self.outermost,
-                             kernel_init=conv_init, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="up")(h)
+        # torch ConvTranspose2d(k4 s2 p1) — UpConv keeps the torch kernel
+        # orientation so weight ports are 1:1 (networks.py:553-570)
+        h = UpConv(self.outer_nc, kernel_size=4, stride=2, padding=1,
+                   output_padding=0,
+                   use_bias=self.norm.use_bias or self.outermost,
+                   dtype=self.dtype, name="up")(h)
         if self.outermost:
             return jnp.tanh(h)
         h = Norm(self.norm, dtype=self.dtype, name="up_norm")(h, train)
@@ -208,6 +209,191 @@ class PixelDiscriminator(nn.Module):
         x = nn.Conv(1, (1, 1), kernel_init=conv_init, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head")(x)
         return x.astype(jnp.float32)
+
+
+class _ResnetBackboneBlock(nn.Module):
+    """BasicBlock / Bottleneck of the PoseResNet backbone
+    (reference networks.py:686-758).  torch BN momentum 0.1 -> flax 0.9."""
+
+    planes: int
+    stride: int = 1
+    bottleneck: bool = False
+    has_downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        d = self.dtype
+
+        def conv(h, feats, k, s, name):
+            p = k // 2
+            return nn.Conv(feats, (k, k), strides=(s, s),
+                           padding=[(p, p), (p, p)], use_bias=False,
+                           kernel_init=conv_init, dtype=d,
+                           param_dtype=jnp.float32, name=name)(h)
+
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=d,
+                                param_dtype=jnp.float32, name=name)(h)
+
+        residual = x
+        if self.bottleneck:  # expansion 4 (reference networks.py:718-757)
+            h = nn.relu(bn(conv(x, self.planes, 1, 1, "conv1"), "bn1"))
+            h = nn.relu(bn(conv(h, self.planes, 3, self.stride, "conv2"),
+                           "bn2"))
+            h = bn(conv(h, self.planes * 4, 1, 1, "conv3"), "bn3")
+            out_ch = self.planes * 4
+        else:  # BasicBlock, expansion 1 (reference networks.py:686-716)
+            h = nn.relu(bn(conv(x, self.planes, 3, self.stride, "conv1"),
+                           "bn1"))
+            h = bn(conv(h, self.planes, 3, 1, "conv2"), "bn2")
+            out_ch = self.planes
+        if self.has_downsample:
+            residual = bn(conv(x, out_ch, 1, self.stride, "down_conv"),
+                          "down_bn")
+        return nn.relu(h + residual)
+
+
+# (block-is-bottleneck, per-stage block counts) — reference networks.py:964-968
+POSE_RESNET_SPEC = {18: (False, [2, 2, 2, 2]),
+                    34: (False, [3, 4, 6, 3]),
+                    50: (True, [3, 4, 6, 3]),
+                    101: (True, [3, 4, 23, 3]),
+                    152: (True, [3, 8, 36, 3])}
+
+
+class PoseResNet(nn.Module):
+    """SimpleBaselines-style pose network: ResNet backbone + 3 deconv
+    upsampling layers + 1x1 joint-heatmap head
+    (reference networks.py:801-990 / net_poseresnet.py, built by
+    define_poseNet with --resnet_size, default 101 at
+    hand_pose_estimators/CVPR2020_hpm3d/options/base_options.py:45).
+
+    POSE_RESNET extra config is never defined inside the reference repo
+    (the opt namespace expects it injected); the values here are the
+    upstream SimpleBaselines defaults the code was written against:
+    NUM_DECONV_LAYERS=3, NUM_DECONV_FILTERS=[256]*3, NUM_DECONV_KERNELS=
+    [4]*3, FINAL_CONV_KERNEL=1, DECONV_WITH_BIAS=False.
+    """
+
+    num_joints: int = 21
+    resnet_size: int = 50
+    deconv_filters: Sequence[int] = (256, 256, 256)
+    deconv_kernels: Sequence[int] = (4, 4, 4)
+    final_conv_kernel: int = 1
+    deconv_with_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        d = self.dtype
+        bottleneck, layers = POSE_RESNET_SPEC[self.resnet_size]
+        expansion = 4 if bottleneck else 1
+        x = x.astype(d)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, kernel_init=conv_init, dtype=d,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=d, param_dtype=jnp.float32,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        in_planes = 64
+        for stage, (planes, blocks) in enumerate(
+                zip([64, 128, 256, 512], layers)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                has_down = (b == 0 and
+                            (s != 1 or in_planes != planes * expansion))
+                x = _ResnetBackboneBlock(
+                    planes, stride=s, bottleneck=bottleneck,
+                    has_downsample=has_down, dtype=d,
+                    name=f"layer{stage + 1}_{b}")(x, train)
+                in_planes = planes * expansion
+
+        # deconv head (reference networks.py:864-892): convT k4 s2 p1 op0
+        for i, (f, k) in enumerate(zip(self.deconv_filters,
+                                       self.deconv_kernels)):
+            pad, op = {4: (1, 0), 3: (1, 1), 2: (0, 0)}[k]
+            x = UpConv(f, use_bias=self.deconv_with_bias, kernel_size=k,
+                       stride=2, padding=pad, output_padding=op, dtype=d,
+                       name=f"deconv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=d, param_dtype=jnp.float32,
+                             name=f"deconv_bn{i}")(x)
+            x = nn.relu(x)
+
+        fk = self.final_conv_kernel
+        p = 1 if fk == 3 else 0
+        x = nn.Conv(self.num_joints, (fk, fk), padding=[(p, p), (p, p)],
+                    kernel_init=conv_init, dtype=d, param_dtype=jnp.float32,
+                    name="final_layer")(x)
+        return x.astype(jnp.float32)
+
+
+def load_pose_resnet_state_dict(sd, resnet_size: int = 50):
+    """torch PoseResNet state_dict (tensors or arrays) -> flax variables.
+
+    Layout contracts as tools/convert_mmhand_torch.py: conv OIHW->HWIO,
+    convT (I,O,kh,kw) -> spatial flip -> HWIO, BN weight/bias->scale/bias +
+    running stats -> batch_stats.  Key map mirrors reference
+    networks.py:801-892 module names.
+    """
+    import numpy as np
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+
+    def conv(key):
+        return {"kernel": np.transpose(to_np(sd[key + ".weight"]),
+                                       (2, 3, 1, 0)),
+                **({"bias": to_np(sd[key + ".bias"])}
+                   if key + ".bias" in sd else {})}
+
+    def convt(key):
+        w = to_np(sd[key + ".weight"])[:, :, ::-1, ::-1]
+        out = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (2, 3, 0, 1)))}
+        if key + ".bias" in sd:
+            out["bias"] = to_np(sd[key + ".bias"])
+        return out
+
+    def bn(key):
+        return ({"scale": to_np(sd[key + ".weight"]),
+                 "bias": to_np(sd[key + ".bias"])},
+                {"mean": to_np(sd[key + ".running_mean"]),
+                 "var": to_np(sd[key + ".running_var"])})
+
+    bottleneck, layers = POSE_RESNET_SPEC[resnet_size]
+    params: dict = {"conv1": conv("conv1")}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = bn("bn1")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            tk = f"layer{stage + 1}.{b}"
+            fk = f"layer{stage + 1}_{b}"
+            node, snode = {}, {}
+            n_convs = 3 if bottleneck else 2
+            for c in range(1, n_convs + 1):
+                node[f"conv{c}"] = conv(f"{tk}.conv{c}")
+                node[f"bn{c}"], snode[f"bn{c}"] = bn(f"{tk}.bn{c}")
+            if f"{tk}.downsample.0.weight" in sd:
+                node["down_conv"] = conv(f"{tk}.downsample.0")
+                node["down_bn"], snode["down_bn"] = bn(f"{tk}.downsample.1")
+            params[fk] = node
+            stats[fk] = snode
+    i = 0
+    while f"deconv_layers.{3 * i}.weight" in sd:
+        params[f"deconv{i}"] = convt(f"deconv_layers.{3 * i}")
+        params[f"deconv_bn{i}"], stats[f"deconv_bn{i}"] = bn(
+            f"deconv_layers.{3 * i + 1}")
+        i += 1
+    params["final_layer"] = conv("final_layer")
+    return {"params": params, "batch_stats": stats}
 
 
 class PATBlock2(nn.Module):

@@ -33,6 +33,67 @@ def norm_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * nn.initializers.normal(stddev=1.0)(key, shape, dtype)
 
 
+def apply_init_type(params, init_type: str, rng):
+    """Re-draw conv/linear kernels per --init_type, post-init.
+
+    The reference applies init by walking modules (`net.apply(weights_init_*)`,
+    reference models/network_utils.py:23-72); the functional analog is a
+    param-tree map over 4-D ('kernel', HWIO conv) and 2-D (linear) leaves.
+    Norm scale/bias leaves keep their N(1,.02)/0 init from construction
+    (identical across init types in the reference :29-56).
+
+    normal:     N(0, 0.02)                 (weights_init_normal :12-20)
+    xavier:     xavier_normal gain=0.02 -> std = .02*sqrt(2/(fan_in+fan_out))
+                (:23-32)
+    kaiming:    kaiming_normal fan_in, a=0 -> std = sqrt(2/fan_in) (:35-44)
+    orthogonal: orthogonal gain=1, torch semantics — flatten to
+                (out_features, rest), semi-orthogonal via QR (:47-56)
+    """
+    if init_type == "normal":
+        return params  # construction-time default already matches
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    keys = jax.random.split(rng, max(1, len(leaves)))
+    out = []
+    for (path, leaf), key in zip(leaves, keys):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name != "kernel" or leaf.ndim not in (2, 4):
+            out.append(leaf)
+            continue
+        if leaf.ndim == 4:  # HWIO
+            kh, kw, cin, cout = leaf.shape
+            fan_in, fan_out = cin * kh * kw, cout * kh * kw
+        else:  # (in, out) flax Dense
+            fan_in, fan_out = leaf.shape
+            cout = leaf.shape[1]
+        if init_type == "xavier":
+            std = 0.02 * (2.0 / (fan_in + fan_out)) ** 0.5
+            out.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
+        elif init_type == "kaiming":
+            std = (2.0 / fan_in) ** 0.5
+            out.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
+        elif init_type == "orthogonal":
+            # torch flattens weight (O, I, kh, kw) to (O, I*kh*kw); our HWIO
+            # layout transposes to OIHW first so rows match torch's
+            rest = leaf.size // cout
+            a = jax.random.normal(key, (max(cout, rest), min(cout, rest)),
+                                  jnp.float32)
+            q, r = jnp.linalg.qr(a)
+            q = q * jnp.sign(jnp.diagonal(r))  # unique decomposition
+            q = q.T if cout > rest else q      # (rest, cout) -> rows=rest
+            if leaf.ndim == 4:
+                # q: (rest=I*kh*kw, cout) with torch row order (I, kh, kw)
+                w = q.reshape(cin, kh, kw, cout).transpose(1, 2, 0, 3)
+            else:
+                w = q.reshape(leaf.shape)
+            out.append(w.astype(leaf.dtype))
+        else:
+            raise NotImplementedError(
+                f"initialization method [{init_type}] is not implemented")
+    return jax.tree_util.tree_unflatten(treedef, [l for l in out])
+
+
 @dataclasses.dataclass(frozen=True)
 class NormConfig:
     """Normalization factory config (reference network_utils.py:74-84
@@ -178,37 +239,86 @@ class StridedConv(nn.Module):
 
 
 class UpConv(nn.Module):
-    """2x upsampling == torch ConvTranspose2d(k=3, s=2, p=1, op=1)
-    (reference models/Generator.py:243-253), implemented as an explicit
-    input-dilated convolution so the geometry AND numerics match torch
-    exactly (enables 1:1 weight ports, tools/convert_mmhand_torch.py):
+    """torch ConvTranspose2d(k, s, p, op) — default (3, 2, 1, 1), the
+    reference generator's 2x upsampler (reference models/Generator.py:
+    243-253) — implemented as an explicit input-dilated convolution so the
+    geometry AND numerics match torch exactly (enables 1:1 weight ports,
+    tools/convert_mmhand_torch.py):
 
-    lhs_dilation=2, padding=(k-1-p, k-1-p+output_padding)=(1, 2), with the
-    kernel stored in torch-convT orientation (HWOI of the equivalent
+    lhs_dilation=s, padding=(k-1-p, k-1-p+output_padding), with the kernel
+    stored in torch-convT orientation (HWIO of the equivalent spatially
     flipped conv) — see the converter for the layout contract.
     """
 
     features: int
     use_bias: bool = False
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
+        k, s, p, op = (self.kernel_size, self.stride, self.padding,
+                       self.output_padding)
         kernel = self.param("kernel", conv_init,
-                            (3, 3, in_features, self.features), jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((1, 2), (1, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+                            (k, k, in_features, self.features), jnp.float32)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if (k, s, p, op) == (3, 2, 1, 1):
+            y = _upconv3_pixel_shuffle(xd, kd)
+        else:
+            pad = (k - 1 - p, k - 1 - p + op)
+            y = jax.lax.conv_general_dilated(
+                xd, kd,
+                window_strides=(1, 1),
+                padding=(pad, pad),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
+
+
+def _upconv3_pixel_shuffle(x, w):
+    """ConvTranspose2d(k3 s2 p1 op1) via output-parity decomposition.
+
+    The lhs-dilated formulation computes a 3x3 conv at OUTPUT resolution
+    over an input that is 3/4 zeros — 4x wasted MXU work that XLA:TPU does
+    not elide.  Decompose by output parity instead
+    (y[p,q] = sum_uv xd[p+u-1, q+v-1] w[u,v], xd nonzero at even indices):
+
+      y[2i,   2j  ] = x[i,j]*w[1,1]                      (1x1 conv)
+      y[2i,   2j+1] = x[i,j]*w[1,0] + x[i,j+1]*w[1,2]    (1x2 conv)
+      y[2i+1, 2j  ] = x[i,j]*w[0,1] + x[i+1,j]*w[2,1]    (2x1 conv)
+      y[2i+1, 2j+1] = sum over w[{0,2},{0,2}]            (2x2 conv)
+
+    then interleave (pixel shuffle).  Exactly equal to the dilated form
+    (verified vs torch in test_torch_parity.py and vs the dilated conv in
+    test_models.py); ~4x fewer MAC ops.
+    """
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+
+    def conv(inp, kern, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            inp, kern, window_strides=(1, 1), padding=(pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y_ee = conv(x, w[1:2, 1:2], (0, 0), (0, 0))
+    y_eo = conv(x, w[1:2, 0::2], (0, 0), (0, 1))
+    y_oe = conv(x, w[0::2, 1:2], (0, 1), (0, 0))
+    y_oo = conv(x, w[0::2, 0::2], (0, 1), (0, 1))
+
+    # interleave columns then rows (pixel shuffle)
+    top = jnp.stack([y_ee, y_eo], axis=3).reshape(b, h, 2 * wd, cout)
+    bot = jnp.stack([y_oe, y_oo], axis=3).reshape(b, h, 2 * wd, cout)
+    return jnp.stack([top, bot], axis=2).reshape(b, 2 * h, 2 * wd, cout)
 
 
 class ConvNormRelu(nn.Module):

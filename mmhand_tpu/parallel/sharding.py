@@ -24,11 +24,13 @@ from mmhand_tpu.train.state import MMHandSystem, MMHandTrainState
 from mmhand_tpu.train.step import make_train_step
 
 
-def replicate_state_for_mesh(state: MMHandTrainState, mesh: Mesh
-                             ) -> MMHandTrainState:
+def replicate_state_for_mesh(state: MMHandTrainState, mesh: Mesh,
+                             local: bool = False) -> MMHandTrainState:
     """Add the leading per-device axis to the pool buffers (everything else
-    stays replicated)."""
-    n = mesh.devices.size
+    stays replicated).  `local=True` sizes the axis to this process's
+    devices only (multi-host: each host materializes just its shard, to be
+    assembled with host_local_array_to_global_array)."""
+    n = mesh.local_mesh.size if local else mesh.devices.size
     stack = lambda x: jnp.broadcast_to(x[None], (n, *x.shape))
     return state.replace(
         pool_pb=jax.tree.map(stack, state.pool_pb),
@@ -82,3 +84,18 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch sharded over the mesh's data axis."""
     sharding = jax.sharding.NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_global(tree, mesh: Mesh, specs):
+    """Multi-host assembly: each process holds its local shard (or the
+    replicated value for P() leaves); build the global jax.Arrays
+    (the TPU equivalent of scattering per-rank tensors under NCCL)."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        tree, mesh, specs)
+
+
+def state_specs(axis: str) -> MMHandTrainState:
+    """Public alias of the train-state PartitionSpec tree."""
+    return _state_specs(axis)

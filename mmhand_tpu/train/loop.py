@@ -8,6 +8,8 @@ scalar), deterministic per-epoch reshuffle keyed by (seed, epoch) — the
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -24,7 +26,7 @@ from mmhand_tpu.parallel import (
     shard_batch,
 )
 from mmhand_tpu.train.state import MMHandSystem
-from mmhand_tpu.train.step import lr_for_epoch, make_train_step
+from mmhand_tpu.train.step import LRSchedule, make_train_step
 from mmhand_tpu.utils.checkpoint import CheckpointManager
 from mmhand_tpu.utils.logging import Visualizer
 from mmhand_tpu.utils.visualize import seven_tile_strip
@@ -49,6 +51,12 @@ def build_system(cfg: Config, vgg_npz: Optional[str] = None):
             from mmhand_tpu.models.vgg import load_vgg19_npz
             vgg_vars = load_vgg19_npz(vgg_npz, cfg.loss.perceptual_layers)
         else:
+            import warnings
+            warnings.warn(
+                "perceptual loss running with RANDOM VGG19 weights (a "
+                "random-projection loss, structurally valid but NOT the "
+                "reference's ImageNet-VGG perceptual term; pass "
+                "--vgg_npz converted weights for parity)", stacklevel=2)
             vgg_vars = system.make_l1_loss(None).init_vgg(
                 jax.random.PRNGKey(7),
                 (1, cfg.model.fine_size, cfg.model.fine_size, 3))
@@ -59,35 +67,53 @@ def build_system(cfg: Config, vgg_npz: Optional[str] = None):
 def train(cfg: Config, *, max_steps: Optional[int] = None,
           vgg_npz: Optional[str] = None, total_epochs: Optional[int] = None,
           host_id: int = 0, num_hosts: int = 1) -> TrainResult:
-    n_dev = jax.device_count()
+    n_dev = jax.device_count()        # global across all hosts
+    n_local = jax.local_device_count()
+    multiprocess = num_hosts > 1
     distributed = n_dev > 1
     master = host_id == 0
 
     system, l1 = build_system(cfg, vgg_npz)
     rng = jax.random.PRNGKey(cfg.data.seed)
-    local_bsz = max(1, cfg.data.batch_size // (n_dev * num_hosts))
+    # per-device batch (reference splits the global batch per rank,
+    # options/base_options.py:178); n_dev already counts every host's chips
+    local_bsz = max(1, cfg.data.batch_size // n_dev)
     state = system.init_state(rng, local_batch_size=local_bsz)
 
     if distributed:
+        from jax.sharding import PartitionSpec as P
         mesh = make_mesh()
         step_fn = make_sharded_train_step(system, l1, mesh)
-        state = replicate_state_for_mesh(state, mesh)
-        place = lambda b: shard_batch(b, mesh)
+        state = replicate_state_for_mesh(state, mesh, local=multiprocess)
+        if multiprocess:
+            # assemble per-host shards into global jax.Arrays (DCN path)
+            from mmhand_tpu.parallel.sharding import make_global, state_specs
+            state = make_global(state, mesh, state_specs("data"))
+            place = lambda b: make_global(
+                b, mesh, jax.tree.map(lambda _: P("data"), b))
+        else:
+            place = lambda b: shard_batch(b, mesh)
     else:
         mesh = None
         step_fn = jax.jit(make_train_step(system, l1), donate_argnums=(0,))
         place = lambda b: b
 
     ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
+    sched = LRSchedule(cfg)
+    sched_path = os.path.join(
+        cfg.run.checkpoints_dir, cfg.run.name, "lr_sched.json")
     if cfg.run.continue_train and ckpt.has(cfg.run.which_epoch):
         state = ckpt.restore(state, cfg.run.which_epoch)
+        if os.path.exists(sched_path):  # plateau state sidecar
+            with open(sched_path) as fh:
+                sched.load_state_dict(json.load(fh))
 
     vis = Visualizer(cfg.run.checkpoints_dir, cfg.run.name, master=master)
     vis.save_options(cfg)
 
     dataset = build_dataset(cfg)
-    # per-device batch times devices = per-host global slice
-    host_bsz = local_bsz * n_dev
+    # per-device batch times THIS host's devices = the host's slice
+    host_bsz = local_bsz * n_local
     loader = HostLoader(dataset, host_bsz, seed=cfg.data.seed,
                         host_id=host_id, num_hosts=num_hosts,
                         shuffle=not cfg.data.serial_batches,
@@ -100,8 +126,15 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     total_steps = 0
     metrics = {}
     last_batch = None
+    plateau = cfg.optim.lr_policy == "plateau"
+    epoch_metric = None  # last epoch's mean G objective (plateau input)
     for epoch in range(cfg.optim.epoch_count, epochs_end + 1):
-        lr = lr_for_epoch(cfg, epoch - cfg.optim.epoch_count)
+        lr = sched.epoch_lr(epoch - cfg.optim.epoch_count, epoch_metric)
+        if plateau and master:
+            os.makedirs(os.path.dirname(sched_path), exist_ok=True)
+            with open(sched_path, "w") as fh:
+                json.dump(sched.state_dict(), fh)
+        epoch_losses = []  # device scalars, fetched once per epoch
         epoch_start = time.time()
         for raw in loader.epoch(epoch):
             t0 = time.time()
@@ -111,6 +144,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             state, metrics = step_fn(state, batch, lr)
             total_steps += 1
             last_batch = batch
+            if plateau:
+                epoch_losses.append(
+                    metrics["pair_L1loss"] + metrics["pair_GANloss"])
 
             if total_steps % cfg.run.print_freq == 0:
                 jax.block_until_ready(metrics)
@@ -118,7 +154,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                     epoch, total_steps,
                     {k: float(v) for k, v in metrics.items()},
                     (time.time() - t0) / host_bsz)
-            if total_steps % cfg.run.display_freq == 0 and master:
+            if (total_steps % cfg.run.display_freq == 0 and master
+                    and not multiprocess):  # snapshot fetches device->host
                 _save_snapshot(vis, system, state, batch, mesh,
                                f"epoch{epoch:03d}_step{total_steps}.png")
             if total_steps % cfg.run.save_latest_freq == 0:
@@ -128,6 +165,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 return TrainResult(state, total_steps,
                                    {k: float(v) for k, v in metrics.items()})
 
+        if plateau and epoch_losses:
+            epoch_metric = float(np.mean(
+                [float(x) for x in jax.device_get(epoch_losses)]))
         if epoch % cfg.run.save_epoch_freq == 0:
             ckpt.save(state, str(epoch))
             ckpt.save(state, "latest")

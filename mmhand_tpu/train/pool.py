@@ -43,6 +43,7 @@ def pool_query(state: PoolState, batch, rng):
     pool_size = state.images.shape[0]
     if pool_size == 0:
         return state, batch
+    batch = batch.astype(state.images.dtype)  # bf16 pools: cast on entry
     bsz = batch.shape[0]
 
     def body(i, carry):

@@ -116,18 +116,37 @@ class MMHandSystem:
             {"params": k_pp},
             jnp.zeros((b, size, size, m.d_pp_input_nc)), train=False)
 
-        g = NetState(g_vars["params"], g_vars.get("batch_stats", {}))
-        d_pb = NetState(d_pb_vars["params"], d_pb_vars.get("batch_stats", {}))
-        d_pp = NetState(d_pp_vars["params"], d_pp_vars.get("batch_stats", {}))
+        # --init_type xavier/kaiming/orthogonal re-draw of conv kernels
+        # (reference models/network_utils.py:23-72; 'normal' is a no-op)
+        from mmhand_tpu.models.layers import apply_init_type
+        init_type = self.config.model.init_type
+        ki_g, ki_pb, ki_pp = jax.random.split(
+            jax.random.fold_in(rng, 0x1217), 3)
+        g = NetState(apply_init_type(g_vars["params"], init_type, ki_g),
+                     g_vars.get("batch_stats", {}))
+        d_pb = NetState(
+            apply_init_type(d_pb_vars["params"], init_type, ki_pb),
+            d_pb_vars.get("batch_stats", {}))
+        d_pp = NetState(
+            apply_init_type(d_pp_vars["params"], init_type, ki_pp),
+            d_pp_vars.get("batch_stats", {}))
 
         pool = self.config.optim.pool_size
+        # pool buffers in compute dtype: the replayed fakes feed straight
+        # into the (bf16) D forward, so storing f32 only costs HBM — 433 MB
+        # vs 216 MB at 256px/pool50, the round-1 batch>16 scaling wall
+        pool_dtype = jnp.bfloat16 if (
+            self.config.precision.compute_dtype == "bfloat16"
+        ) else jnp.float32
         return MMHandTrainState(
             step=jnp.zeros((), jnp.int32),
             g=g, d_pb=d_pb, d_pp=d_pp,
             opt_g=self.tx.init(g.params),
             opt_d_pb=self.tx.init(d_pb.params),
             opt_d_pp=self.tx.init(d_pp.params),
-            pool_pb=pool_init(pool, (size, size, m.d_pb_input_nc)),
-            pool_pp=pool_init(pool, (size, size, m.d_pp_input_nc)),
+            pool_pb=pool_init(pool, (size, size, m.d_pb_input_nc),
+                              dtype=pool_dtype),
+            pool_pp=pool_init(pool, (size, size, m.d_pp_input_nc),
+                              dtype=pool_dtype),
             rng=k_state,
         )

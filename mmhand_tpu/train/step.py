@@ -38,11 +38,12 @@ from mmhand_tpu.losses.gan import gan_loss
 
 
 def lr_for_epoch(cfg, epoch: int) -> float:
-    """Per-epoch LR multiplier schedules
-    (reference models/network_utils.py:87-109).
+    """Per-epoch LR for the stateless policies
+    (reference models/network_utils.py:87-101).
 
     lambda: linear decay to zero over niter_decay epochs after niter.
     step: x0.1 every lr_decay_iters epochs.
+    plateau is stateful — use LRSchedule.
     """
     o = cfg.optim
     if o.lr_policy == "lambda":
@@ -52,6 +53,55 @@ def lr_for_epoch(cfg, epoch: int) -> float:
     if o.lr_policy == "step":
         return o.lr * (0.1 ** (epoch // o.lr_decay_iters))
     raise NotImplementedError(f"lr policy [{o.lr_policy}]")
+
+
+class LRSchedule:
+    """Stateful per-epoch LR schedule covering all three reference policies
+    (reference models/network_utils.py:87-109).
+
+    `epoch_lr(epoch, metric)` returns the LR for the coming epoch; `metric`
+    is last epoch's mean G objective and is only consulted by the plateau
+    policy — torch semantics of ReduceLROnPlateau(mode='min', factor=0.2,
+    threshold=0.01 rel, patience=5, cooldown=0).  NOTE: the reference could
+    never actually run plateau — its `scheduler.step()` passes no metric
+    (reference models/base_model.py:83-87), a TypeError at the first epoch
+    boundary.  We implement the policy the flag promises instead of
+    reproducing the crash.
+    """
+
+    FACTOR = 0.2
+    THRESHOLD = 0.01
+    PATIENCE = 5
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.policy = cfg.optim.lr_policy
+        self._lr = cfg.optim.lr
+        self._best = float("inf")
+        self._num_bad = 0
+        if self.policy not in ("lambda", "step", "plateau"):
+            raise NotImplementedError(f"lr policy [{self.policy}]")
+
+    def epoch_lr(self, epoch: int, metric: Optional[float] = None) -> float:
+        if self.policy != "plateau":
+            return lr_for_epoch(self.cfg, epoch)
+        if metric is not None:
+            if metric < self._best * (1.0 - self.THRESHOLD):
+                self._best = metric
+                self._num_bad = 0
+            else:
+                self._num_bad += 1
+            if self._num_bad > self.PATIENCE:
+                self._lr *= self.FACTOR
+                self._num_bad = 0
+        return self._lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self._lr, "best": self._best, "num_bad": self._num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self._lr, self._best, self._num_bad = (
+            d["lr"], d["best"], d["num_bad"])
 
 
 def make_train_step(system: MMHandSystem, l1_loss,

@@ -29,7 +29,14 @@ class CheckpointManager:
         return os.path.join(self.root, f"state_{label}")
 
     def save(self, state: Any, label: str = "latest") -> None:
-        """Save under `label` (reference save_network base_model.py:37-57)."""
+        """Save under `label` (reference save_network base_model.py:37-57).
+
+        Multi-host: cross-process-sharded leaves (the per-replica pools)
+        are allgathered to host memory first — a collective, so EVERY
+        process must call save; only process 0 writes."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            state = multihost_utils.process_allgather(state, tiled=True)
         if jax.process_index() != 0:
             return
         path = self._path(label)

@@ -33,14 +33,13 @@ from mmhand_tpu.config import Config, add_cli_args, from_cli_args  # noqa: E402
 
 def jointsmap_condition(uv, z, size):
     """Depth-colored jointsmap conditioning, minmax-normalized to [0, 1]
-    (reference utils.py:113-125 _create_input_image)."""
-    from mmhand_tpu.ops.jointsmap import generate_jointsmap
+    (reference utils.py:113-125 _create_input_image; canonical
+    implementation: Evaluator.create_input_image)."""
+    from mmhand_tpu.eval import Evaluator
 
-    jm = np.asarray(generate_jointsmap(uv, z, size, size))  # (B, H, W)
-    lo = jm.min(axis=(1, 2), keepdims=True)
-    hi = jm.max(axis=(1, 2), keepdims=True)
-    jm = (jm - lo) / np.maximum(hi - lo, 1e-6)
-    return np.repeat(jm[..., None], 3, axis=-1).astype(np.float32)
+    xyz = np.concatenate([np.asarray(uv, np.float32),
+                          np.asarray(z, np.float32)[..., None]], axis=-1)
+    return Evaluator.create_input_image(xyz, size)
 
 
 def main(argv=None):
@@ -122,7 +121,8 @@ def main(argv=None):
 
     scores = evaluator.evaluate()
     print(json.dumps({"arch": args.arch,
-                      **{k: round(float(v), 4) for k, v in scores.items()}}))
+                      **{k: (v if isinstance(v, str) else round(float(v), 4))
+                         for k, v in scores.items()}}))
 
 
 if __name__ == "__main__":

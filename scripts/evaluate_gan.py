@@ -48,7 +48,9 @@ def main(argv=None):
                       inception_npz=args.inception_npz,
                       hpm2d_npz=args.hpm2d_npz, hpm3d_npz=args.hpm3d_npz,
                       with_pck=not args.no_pck)
-    print(json.dumps({k: round(float(v), 4) for k, v in scores.items()}))
+    print(json.dumps({
+        k: (v if isinstance(v, str) else round(float(v), 4))
+        for k, v in scores.items()}))
 
 
 def evaluate(cfg: Config, batch_size: int = 16, state=None,

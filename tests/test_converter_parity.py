@@ -1,0 +1,213 @@
+"""Inception-v3 / VGG19 converter forward parity vs torch
+(VERDICT r1 item 2).
+
+Proves tools/convert_torch_weights.py + the flax loaders are
+conversion-correct end-to-end with RANDOM-init torch state_dicts — the same
+pattern test_torch_parity.py uses for G/D/CPM.  ImageNet weights stay
+external (no torchvision in this image), but once this passes, any
+correctly-produced .npz gives the reference's numbers.
+
+Inception source: the reference's vendored torchvision copy
+(reference baselines/quantitative_on_benchmarks/inception.py:27-430).
+VGG19: the features prefix rebuilt in-test from the torchvision 'E' config
+(reference losses/L1_plus_perceptualLoss.py:22-30 truncation semantics).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+from convert_torch_weights import dump_state_dict  # noqa: E402
+
+
+def _import_vendored_inception():
+    """Load the reference's vendored inception.py with torchvision stubbed
+    (it only imports load_state_dict_from_url, unused at random init)."""
+    import importlib.util
+    import shutil
+    import tempfile
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_utils = types.ModuleType("torchvision.models.utils")
+        tv_utils.load_state_dict_from_url = lambda *a, **k: None
+        tv.models = tv_models
+        tv_models.utils = tv_utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.models.utils"] = tv_utils
+
+    src = "/root/reference/baselines/quantitative_on_benchmarks/inception.py"
+    tmp = tempfile.mkdtemp(prefix="refinc_")
+    dst = shutil.copy(src, tmp)
+    spec = importlib.util.spec_from_file_location("ref_inception", dst)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _stabilize_inception_(model, seed=0):
+    """Re-draw weights at activation-preserving scale (the vendored
+    truncnorm(std=0.1) init explodes activations over 94 layers, making
+    float comparisons ill-conditioned) and randomize BN affine/running
+    stats so the BN conversion is actually exercised."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            fan_in = m.in_channels * m.kernel_size[0] * m.kernel_size[1]
+            m.weight.data = torch.randn(m.weight.shape, generator=g) \
+                * (2.0 / fan_in) ** 0.5
+        elif isinstance(m, torch.nn.BatchNorm2d):
+            n = m.num_features
+            m.weight.data = 1.0 + 0.1 * torch.randn(n, generator=g)
+            m.bias.data = 0.1 * torch.randn(n, generator=g)
+            m.running_mean = 0.1 * torch.randn(n, generator=g)
+            m.running_var = 0.5 + torch.rand(n, generator=g)
+        elif isinstance(m, torch.nn.Linear):
+            m.weight.data = 0.01 * torch.randn(m.weight.shape, generator=g)
+            m.bias.data = 0.01 * torch.randn(m.bias.shape, generator=g)
+
+
+class TestInceptionParity:
+    @pytest.mark.slow
+    def test_forward_matches_vendored_reference(self, tmp_path):
+        from mmhand_tpu.models.inception import Inception3, load_inception_npz
+
+        ref = _import_vendored_inception()
+        t = ref.Inception3(num_classes=1000, aux_logits=False,
+                           transform_input=False).eval()
+        _stabilize_inception_(t)
+
+        npz = str(tmp_path / "inc.npz")
+        dump_state_dict(t.state_dict(), npz)
+        variables = load_inception_npz(npz)
+
+        net = Inception3(dtype=jnp.float32)
+        rng = np.random.RandomState(0)
+        x = rng.uniform(-2, 2, (2, 299, 299, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = t(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        logits, pool = net.apply(variables, jnp.asarray(x))
+        got = np.asarray(logits)
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got, want, rtol=2e-3,
+                                   atol=2e-3 * scale)
+        assert pool.shape == (2, 2048)
+
+    def test_loader_covers_all_torch_keys(self, tmp_path):
+        """Every converted npz array lands somewhere in the flax tree."""
+        import jax
+        from mmhand_tpu.models.inception import Inception3, load_inception_npz
+
+        ref = _import_vendored_inception()
+        t = ref.Inception3(num_classes=1000, aux_logits=False,
+                           transform_input=False)
+        npz = str(tmp_path / "inc.npz")
+        dump_state_dict(t.state_dict(), npz)
+        variables = load_inception_npz(npz)
+        n_torch = sum(1 for k in t.state_dict()
+                      if "num_batches_tracked" not in k)
+        n_flax = len(jax.tree.leaves(variables))
+        assert n_flax == n_torch
+        # structure identical to a fresh init
+        init = Inception3(dtype=jnp.float32).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                    jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+        assert paths(init["params"]) == paths(variables["params"])
+        assert paths(init["batch_stats"]) == paths(variables["batch_stats"])
+
+
+def _torch_vgg19_features(seed=0):
+    """torchvision vgg19().features rebuilt from the 'E' config
+    (no torchvision needed for the architecture)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    torch.manual_seed(seed)
+    layers = []
+    in_ch = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_ch, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            in_ch = v
+    return torch.nn.Sequential(*layers)
+
+
+class TestVGGParity:
+    @pytest.mark.parametrize("truncate_at", [3, 8, 13])
+    def test_truncated_features_match(self, truncate_at, tmp_path):
+        from mmhand_tpu.models.vgg import VGG19Features, load_vgg19_npz
+
+        feats = _torch_vgg19_features().eval()
+        npz = str(tmp_path / "vgg.npz")
+        dump_state_dict({f"features.{k}": v
+                         for k, v in feats.state_dict().items()}, npz)
+        variables = load_vgg19_npz(npz, truncate_at)
+
+        # reference truncation: add layers up to and INCLUDING index
+        # perceptual_layers (L1_plus_perceptualLoss.py:24-28)
+        sub = torch.nn.Sequential(*list(feats)[:truncate_at + 1]).eval()
+        net = VGG19Features(truncate_at=truncate_at, dtype=jnp.float32)
+
+        rng = np.random.RandomState(1)
+        x = rng.uniform(-2, 2, (2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = np.transpose(
+                sub(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy(),
+                (0, 2, 3, 1))
+        got = np.asarray(net.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_full_perceptual_loss_matches_reference_formula(self, tmp_path):
+        """End-to-end loss value vs the reference's math
+        (L1_plus_perceptualLoss.py:32-75) with the same random VGG."""
+        from mmhand_tpu.losses.perceptual import L1PlusPerceptual
+        from mmhand_tpu.models.vgg import load_vgg19_npz
+
+        feats = _torch_vgg19_features().eval()
+        npz = str(tmp_path / "vgg.npz")
+        dump_state_dict({f"features.{k}": v
+                         for k, v in feats.state_dict().items()}, npz)
+        vgg_vars = load_vgg19_npz(npz, 3)
+        loss = L1PlusPerceptual(lambda_l1=10.0, lambda_perceptual=10.0,
+                                perceptual_layers=3, percep_is_l1=True,
+                                vgg_variables=vgg_vars, dtype=jnp.float32)
+
+        rng = np.random.RandomState(2)
+        fake = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+        real = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+
+        sub = torch.nn.Sequential(*list(feats)[:4]).eval()
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+        def renorm(t):
+            return (((t + 1) / 2) - mean) / std
+
+        tf = torch.tensor(np.transpose(fake, (0, 3, 1, 2)))
+        tr = torch.tensor(np.transpose(real, (0, 3, 1, 2)))
+        with torch.no_grad():
+            want_l1 = torch.nn.functional.l1_loss(tf, tr) * 10.0
+            want_p = torch.nn.functional.l1_loss(
+                sub(renorm(tf)), sub(renorm(tr))) * 10.0
+
+        total, l1, percep = loss(jnp.asarray(fake), jnp.asarray(real))
+        assert float(l1) == pytest.approx(float(want_l1), rel=1e-5)
+        assert float(percep) == pytest.approx(float(want_p), rel=1e-4)
+        assert float(total) == pytest.approx(
+            float(want_l1 + want_p), rel=1e-4)

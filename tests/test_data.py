@@ -8,7 +8,13 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from mmhand_tpu.config import Config, DataConfig, ModelConfig
+from mmhand_tpu.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    RunConfig,
+)
 from mmhand_tpu.data import (
     HostLoader,
     RHDCrops,
@@ -198,3 +204,140 @@ class TestLoader:
         np.testing.assert_array_equal(
             sorted(np.concatenate([b["src_uv"] for b in b1], 0).ravel()),
             sorted(np.concatenate([b["src_uv"] for b in b2], 0).ravel()))
+
+
+def _write_fake_mmhand(root, n=10, size=32):
+    """Fake MMHand CSV tree (reference data/mmhand_dataset.py:14-118):
+    imageroot/train/color_*.png (+depth_* siblings), poseroot/trainP/*.npy,
+    and a (from,to) pair CSV."""
+    img_dir = os.path.join(root, "images", "train")
+    pose_dir = os.path.join(root, "poses", "trainP")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pose_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(n):
+        name = f"color_{i:04d}"
+        img = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(img_dir, name + ".png"))
+        Image.fromarray(img[::-1]).save(
+            os.path.join(img_dir, name.replace("color", "depth") + ".png"))
+        np.save(os.path.join(pose_dir, name + ".npy"),
+                rng.uniform(0, 1, (size, size, 21)).astype(np.float32))
+        names.append(name)
+    csv = os.path.join(root, "pairs.csv")
+    with open(csv, "w") as fh:
+        fh.write("from,to\n")
+        for i in range(n):
+            fh.write(f"{names[i]},{names[(i + 1) % n]}\n")
+    return os.path.join(root, "images"), os.path.join(root, "poses"), csv
+
+
+class TestMMHandWiring:
+    """--dataset MMHand end-to-end (VERDICT r1 item 3; reference
+    data/mmhand_dataset_data_loader.py:12-17 + data/mmhand_dataset.py)."""
+
+    def _cfg(self, tmp_path, size=32, bsz=2):
+        imageroot, poseroot, csv = _write_fake_mmhand(str(tmp_path), size=size)
+        return Config(
+            model=ModelConfig(fine_size=size),
+            data=DataConfig(dataset="MMHand", batch_size=bsz,
+                            image_root=imageroot, pose_root=poseroot,
+                            pair_lst=csv, use_flip=True))
+
+    def test_factory_dispatch(self, tmp_path):
+        ds = build_dataset(self._cfg(tmp_path))
+        assert getattr(ds, "prerendered", False)
+        assert len(ds) == 10
+
+    def test_requires_pairlst(self):
+        cfg = Config(data=DataConfig(dataset="MMHand"))
+        with pytest.raises(ValueError, match="pairLst"):
+            build_dataset(cfg)
+
+    def test_loader_and_prepare_passthrough(self, tmp_path):
+        cfg = self._cfg(tmp_path)
+        ds = build_dataset(cfg)
+        loader = HostLoader(ds, 2, seed=1)
+        raw = next(iter(loader.epoch(0)))
+        assert raw["H1"].shape == (2, 32, 32, 3)
+        assert raw["P1"].shape == (2, 32, 32, 21)
+        assert raw["D2"].shape == (2, 32, 32, 3)
+        assert len(raw["src_paths"]) == 2
+        prep = make_prepare_batch()
+        batch = prep({k: v for k, v in raw.items() if not k.endswith("paths")})
+        np.testing.assert_allclose(np.asarray(batch["H1"]), raw["H1"])
+        assert np.asarray(batch["H1"]).min() >= -1.0 - 1e-5
+
+    def test_cli_flags(self, tmp_path):
+        import argparse
+        from mmhand_tpu.config import add_cli_args, from_cli_args
+        imageroot, poseroot, csv = _write_fake_mmhand(str(tmp_path))
+        p = argparse.ArgumentParser()
+        add_cli_args(p)
+        args = p.parse_args(["--dataset", "MMHand", "--pairLst", csv,
+                             "--imageroot", imageroot, "--poseroot", poseroot,
+                             "--use_flip"])
+        cfg = from_cli_args(args)
+        assert cfg.data.use_flip and cfg.data.image_root == imageroot
+        ds = build_dataset(cfg)
+        assert len(ds) == 10
+
+    @pytest.mark.slow
+    def test_train_smoke(self, tmp_path):
+        from dataclasses import replace
+        from mmhand_tpu.train.loop import train
+        cfg = self._cfg(tmp_path, bsz=8)
+        cfg = Config(
+            model=ModelConfig(fine_size=32, g_n_blocks=1, ngf=8, ndf=8),
+            optim=OptimConfig(pool_size=2),
+            data=replace(cfg.data, batch_size=8),
+            run=RunConfig(name="mmtest",
+                          checkpoints_dir=str(tmp_path / "ckpt"),
+                          print_freq=100, display_freq=1000,
+                          save_latest_freq=1000))
+        result = train(cfg, max_steps=1)
+        assert result.steps == 1
+        assert np.isfinite(list(result.last_metrics.values())).all()
+
+
+class TestParallelLoader:
+    """N-worker batch assembly (VERDICT r1 item 10)."""
+
+    def test_multithreaded_matches_single(self):
+        cfg = _cfg("", "synthetic", size=32, bsz=2)
+        ds = SyntheticHands(cfg, length=12)
+        b1 = list(HostLoader(ds, 2, seed=1, num_threads=1).epoch(0))
+        b4 = list(HostLoader(ds, 2, seed=1, num_threads=4).epoch(0))
+        assert len(b1) == len(b4) == 6
+        for a, b in zip(b1, b4):
+            np.testing.assert_array_equal(a["src_image"], b["src_image"])
+            assert a["src_paths"] == b["src_paths"]
+
+    def test_throughput_scales_with_workers(self):
+        import time as _t
+
+        class SlowDS:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def load_pair(self, i):
+                _t.sleep(0.01)
+                from mmhand_tpu.data.datasets import RawItem
+                item = RawItem(image=np.zeros((8, 8, 3), np.uint8),
+                               depth=np.zeros((8, 8), np.uint16),
+                               uv=np.zeros((21, 2), np.float32),
+                               z=np.zeros((21,), np.float32), path=str(i))
+                return item, item
+
+        ds = SlowDS(32)
+        t0 = _t.perf_counter()
+        list(HostLoader(ds, 2, seed=1, num_threads=1, prefetch=0).epoch(0))
+        t1 = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        list(HostLoader(ds, 2, seed=1, num_threads=8, prefetch=0).epoch(0))
+        t8 = _t.perf_counter() - t0
+        assert t8 < t1 * 0.5  # >=2x from 8 workers on sleep-bound decode

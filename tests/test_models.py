@@ -109,3 +109,37 @@ class TestWeightInit:
         big = np.concatenate([np.ravel(k) for k in kernels if k.size > 1000])
         assert abs(float(big.std()) - 0.02) < 0.002
         assert abs(float(big.mean())) < 0.001
+
+
+class TestUpConvDecomposition:
+    """UpConv(3,2,1,1) parity-decomposed pixel-shuffle == the lhs-dilated
+    ConvTranspose formulation (exactness of the fast path)."""
+
+    def test_matches_dilated_form(self):
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.models.layers import _upconv3_pixel_shuffle
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 9, 7, 5)), jnp.float32)
+        w = jnp.asarray(rng.uniform(-1, 1, (3, 3, 5, 4)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _upconv3_pixel_shuffle(x, w)
+        assert got.shape == want.shape == (2, 18, 14, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_general_geometry_k4(self):
+        """UpConv(k4 s2 p1 op0) — the UNet/PoseResNet deconv — matches
+        torch ConvTranspose2d geometry (2x upsample)."""
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.models.layers import UpConv
+
+        m = UpConv(4, kernel_size=4, stride=2, padding=1, output_padding=0,
+                   dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        y = m.apply(v, jnp.zeros((1, 8, 8, 3)))
+        assert y.shape == (1, 16, 16, 4)

