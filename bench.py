@@ -26,9 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 # Estimated reference throughput: PyTorch 1.4 + APEX O1 on one V100 for the
-# same step (G 71M params + 2 D + VGG percep at 256px).  No published number
-# exists (BASELINE.md); this anchor makes vs_baseline a stable cross-round
-# ratio, to be replaced by a measured value if one becomes available.
+# same step.  No published number exists (BASELINE.md), so the anchor is
+# FLOP-bounded instead of guessed: the full step costs ~2.45 TFLOP/image
+# (measured on this implementation: 39.3 TF / 16 images — same architecture,
+# so the same arithmetic for torch).  A V100 peaks at 125 TFLOP/s fp16;
+# PyTorch 1.4 + APEX O1 CNN workloads without channels_last typically
+# sustain 30-50% of peak (37-62 TFLOP/s), bounding the reference at
+# ~15-25 img/s.  The anchor sits at the midpoint; vs_baseline is therefore
+# accurate within about +/-25%, and stays a stable cross-round ratio.
 ESTIMATED_REFERENCE_IMG_PER_SEC_V100 = 20.0
 
 

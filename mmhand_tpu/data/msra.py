@@ -11,9 +11,9 @@ framework consumes (pose-diversity NN search and depth experiments):
   :134-162);
 * joint.txt parsing (world-space xyz, 21 joints, y/z sign flip).
 
-The voxel/cubic V2V augmentation machinery (:318-493) supports experiments
-outside the MM-Hand pipeline and is intentionally not ported (SURVEY.md
-B7 note).
+The voxel/cubic V2V augmentation machinery (:318-493, 651-711) lives in
+ops/voxelize.py (TPU-first scatter/quadric implementations); `voxel_sample`
+below bridges a reader item into its sample contract.
 """
 
 from __future__ import annotations
@@ -105,3 +105,31 @@ class MSRAHandDataset:
         uv = np.stack([px, py], axis=-1)
         return {"depthmap": depth, "xyz": xyz.astype(np.float32),
                 "uv": uv.astype(np.float32), "bbox": bbox, "path": path}
+
+
+def depthmap2points(depth, fx=MSRA_FX, fy=MSRA_FY):
+    """(H, W) depth -> (H*W, 3) world-space point cloud (reference
+    :150-156)."""
+    h, w = depth.shape
+    x, y = np.meshgrid(np.arange(w) + 1, np.arange(h) + 1)
+    wx, wy, wz = pixel2world(x, y, depth, w, h, fx, fy)
+    return np.stack([wx, wy, wz], axis=-1).reshape(-1, 3).astype(np.float32)
+
+
+def voxel_sample(item: dict, refpoint=None) -> dict:
+    """Reader item -> ops.voxelize.V2VVoxelization sample contract
+    {points, keypoints, refpoint} (reference __getitem__ :748-790 role).
+    refpoint defaults to the keypoint centroid (the reference loads
+    precomputed center files; centroid is the documented fallback)."""
+    points = depthmap2points(item["depthmap"])
+    points = points[points[:, 2] < MSRA_MAX_DEPTH - 1e-3]
+    # static shape for jit: pad/trim to a fixed cloud size
+    n = 32768
+    if len(points) >= n:
+        points = points[:n]
+    else:
+        points = np.concatenate(
+            [points, np.full((n - len(points), 3), 1e9, np.float32)])
+    ref = (np.asarray(refpoint, np.float32) if refpoint is not None
+           else item["xyz"].mean(axis=0).astype(np.float32))
+    return {"points": points, "keypoints": item["xyz"], "refpoint": ref}

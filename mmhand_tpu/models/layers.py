@@ -148,6 +148,18 @@ class Norm(nn.Module):
         raise NotImplementedError(f"norm [{self.cfg.kind}] not found")
 
 
+def reflect_pad_concat(x, p: int):
+    """Reflect-pad NHWC spatially by p using slice+concat (lowers to plain
+    copies; jnp.pad(mode='reflect') lowers to gathers that cost measurably
+    more inside the fused step)."""
+    x = jnp.concatenate(
+        [x[:, 1:p + 1][:, ::-1], x, x[:, -p - 1:-1][:, ::-1]], axis=1)
+    x = jnp.concatenate(
+        [x[:, :, 1:p + 1][:, :, ::-1], x, x[:, :, -p - 1:-1][:, :, ::-1]],
+        axis=2)
+    return x
+
+
 def pad2d(x, pad: int, mode: str = "reflect"):
     """Spatial padding of NHWC tensors (reference uses nn.ReflectionPad2d /
     ReplicationPad2d ahead of VALID convs)."""
@@ -155,7 +167,7 @@ def pad2d(x, pad: int, mode: str = "reflect"):
         return x
     widths = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
     if mode == "reflect":
-        return jnp.pad(x, widths, mode="reflect")
+        return reflect_pad_concat(x, pad)
     if mode == "replicate":
         return jnp.pad(x, widths, mode="edge")
     if mode == "zero":
@@ -194,12 +206,18 @@ class PadConv(nn.Module):
         kd = kernel.astype(self.dtype)
         bd = bias.astype(self.dtype) if bias is not None else None
 
-        # fast path for 3x3 only: measured +9% on the full step; at 7x7 the
-        # (p=3) border decomposition needs 24 corrections x 7 taps of tiny
-        # matmuls and LOSES badly (44.2 -> 32.8 img/s) — the stems keep the
-        # materialized jnp.pad
-        if (self.kernel == 3 and self.pad == 1 and self.stride == 1
-                and self.pad_mode == "reflect"):
+        # Reflect-conv implementation choice, A/B'd at full-step level on
+        # the chip (r2: border 44.65 img/s vs concat 42.74; see BASELINE.md):
+        #  'border' — zero-pad conv + exact 1-D border corrections
+        #             (ops/reflect_conv.py) for 3x3; 7x7 stems use the
+        #             concat-pad (equal to jnp.pad within noise).
+        #  'concat' — slice+concat padded input, VALID conv everywhere.
+        # The 7x7 border decomposition (24 corrections x 7 taps) measured
+        # much worse (44.2 -> 32.8 img/s) and is never used.
+        import os
+        impl = os.environ.get("MMHAND_REFLECT_IMPL", "border")
+        if (impl == "border" and self.kernel == 3 and self.pad == 1
+                and self.stride == 1 and self.pad_mode == "reflect"):
             from mmhand_tpu.ops.reflect_conv import conv_reflect
             return conv_reflect(xd, kd, bd)
 

@@ -104,23 +104,22 @@ class LRSchedule:
             d["lr"], d["best"], d["num_bad"])
 
 
-def make_train_step(system: MMHandSystem, l1_loss,
-                    fused_d_forward: bool = False):
+def make_train_step(system: MMHandSystem, l1_loss):
     """Build the train step closure.
 
     Args:
       system: static MMHandSystem.
       l1_loss: L1PlusPerceptual instance or None (plain L1, --L1_type origin).
-      fused_d_forward: run each D phase's real and fake batches through ONE
-        concatenated forward.  Measured on v5e: NO throughput gain (40.5
-        img/s either way — XLA pipelines the two forwards), and the joint
-        BatchNorm statistics let D separate real/fake through batch stats
-        (D loss collapses ~5.1 -> ~1.4 in one step) — a known GAN pathology.
-        Kept for ablation only; the default matches the reference's separate
-        forwards (reference backward_D_basic MMHandModel.py:263-274).
     Returns:
       step(state, batch, lr) -> (state, metrics); batch is a dict with NHWC
       float32 H1,P1,D1,H2,P2,D2 (P* are (B,H,W,21) heatmaps).
+
+    Note: a fused real+fake D forward (one concatenated batch per phase)
+    was measured in round 1 and REJECTED — no throughput gain (XLA already
+    pipelines the two forwards) and the joint BatchNorm statistics let D
+    separate real/fake through batch stats, collapsing D loss ~5.1 -> ~1.4
+    in one step (a known GAN pathology).  The reference uses separate
+    forwards (reference backward_D_basic MMHandModel.py:263-274).
     """
     cfg = system.config
     lam_gan = cfg.loss.lambda_gan
@@ -151,13 +150,6 @@ def make_train_step(system: MMHandSystem, l1_loss,
 
         def loss_fn(params):
             p = NetState(params, net.batch_stats)
-            if fused_d_forward:
-                both = jnp.concatenate([real, fake_pool], axis=0)
-                pred, bs2 = apply_d(module, p, both, k1)
-                nb = real.shape[0]
-                loss_real = gan_loss(pred[:nb], True, gan_mode) * lam_gan
-                loss_fake = gan_loss(pred[nb:], False, gan_mode) * lam_gan
-                return (loss_real + loss_fake) * 0.5, bs2
             pred_real, bs1 = apply_d(module, p, real, k1)
             loss_real = gan_loss(pred_real, True, gan_mode) * lam_gan
             pred_fake, bs2 = apply_d(

@@ -32,14 +32,16 @@ class CheckpointManager:
         """Save under `label` (reference save_network base_model.py:37-57).
 
         Multi-host: cross-process-sharded leaves (the per-replica pools)
-        are allgathered to host memory first — a collective, so EVERY
-        process must call save; only process 0 writes."""
+        are allgathered to host memory first, then EVERY process calls the
+        orbax save (it synchronizes internally and gates the actual write
+        to the primary host — the reference's master-rank gating,
+        base_model.py:48)."""
+        path = self._path(label)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             state = multihost_utils.process_allgather(state, tiled=True)
-        if jax.process_index() != 0:
+            self._ckptr.save(path, state, force=True)
             return
-        path = self._path(label)
         self._ckptr.save(path, jax.device_get(state), force=True)
 
     def restore(self, template: Any, label: str = "latest") -> Any:

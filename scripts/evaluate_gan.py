@@ -97,9 +97,11 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
                          if not k.endswith("paths")})
         fakes = eval_step(state.g, batch)
         xyz = None
-        if judge is not None:
+        if judge is not None and "tgt_uv" in raw:
             # raw depth in the z column; the judge rescales to pixels
-            # (/700*256) internally — reference hpe_estimator.py:122
+            # (/700*256) internally — reference hpe_estimator.py:122.
+            # Prerendered datasets (MMHand CSV) carry no uv/z: PCK is
+            # skipped for them, like the reference's pose-map-only path.
             xyz = np.concatenate(
                 [raw["tgt_uv"], raw["tgt_z"][:, :, None]], axis=-1)
         evaluator.feed(fakes, batch["H2"], gt_xyz=xyz)

@@ -254,3 +254,59 @@ class TestShardedStep:
         check(out_s.g.params, out_d.g.params)
         check(out_s.d_pb.params, out_d.d_pb.params)
         check(out_s.d_pp.params, out_d.d_pp.params)
+
+
+class TestPoolVectorizedEquivalence:
+    """The one-pass vectorized pool_query must reproduce the sequential
+    per-image reference policy (reference util/image_pool.py:14-34) draw
+    for draw — verified against a python re-implementation that consumes
+    the same fold_in(rng, i) key schedule."""
+
+    def _sequential(self, images, num, batch, rng):
+        import jax
+        images = np.array(images)
+        batch = np.asarray(batch, images.dtype)
+        pool_size = images.shape[0]
+        out = np.zeros_like(batch)
+        num = int(num)
+        for i in range(batch.shape[0]):
+            key = jax.random.fold_in(rng, i)
+            k_swap, k_idx = jax.random.split(key)
+            if num < pool_size:
+                images[num] = batch[i]
+                out[i] = batch[i]
+                num += 1
+            else:
+                p = float(jax.random.uniform(k_swap))
+                rid = int(jax.random.randint(k_idx, (), 0, pool_size))
+                if p > 0.5:
+                    out[i] = images[rid]
+                    images[rid] = batch[i]
+                else:
+                    out[i] = batch[i]
+        return images, num, out
+
+    @pytest.mark.parametrize("num0", [0, 2, 4])
+    def test_matches_sequential(self, num0):
+        import jax
+        from mmhand_tpu.train.pool import PoolState, pool_query
+
+        rng_np = np.random.RandomState(num0)
+        pool_size, bsz = 4, 16  # small pool, large batch => many collisions
+        images = jnp.asarray(
+            rng_np.uniform(-1, 1, (pool_size, 8, 8, 3)), jnp.float32)
+        if num0 < pool_size:  # unfilled slots are zeros
+            images = images.at[num0:].set(0.0)
+        batch = jnp.asarray(
+            rng_np.uniform(-1, 1, (bsz, 8, 8, 3)), jnp.float32)
+        key = jax.random.PRNGKey(17 + num0)
+
+        state = PoolState(images=images, num=jnp.asarray(num0, jnp.int32))
+        new_state, replayed = jax.jit(pool_query)(state, batch, key)
+        want_imgs, want_num, want_out = self._sequential(
+            images, num0, batch, key)
+
+        assert int(new_state.num) == want_num
+        np.testing.assert_allclose(np.asarray(new_state.images), want_imgs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(replayed), want_out, atol=1e-6)

@@ -80,10 +80,23 @@ def build(cfg_overrides=None, vgg=True):
     return cfg, system, l1, step
 
 
+VARIANTS = {
+    "base": ("full step (baseline)", None, True),
+    "pool0": ("pool_size=0", {"optim.pool_size": 0}, True),
+    "nodrop": ("no dropout", {"model.use_dropout_g": False}, True),
+    "zeropad": ("zero padding", {"model.padding_type": "zero"}, True),
+    "novgg": ("plain L1 (no VGG)", {"loss.l1_type": "origin"}, False),
+    "gonly": ("dg_ratio=0 (G phase only)", {"optim.dg_ratio": 0}, True),
+    "instnorm": ("instance norm", {"model.norm": "instance"}, True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", type=str, default="base",
+                    help=f"comma list of {list(VARIANTS)} and/or 'parts'")
     args = ap.parse_args()
     b = args.batch
     data = make_data(b)
@@ -97,14 +110,24 @@ def main():
         print(f"  {name:42s} {dt*1e3:8.1f} ms  {b/dt:7.1f} img/s", flush=True)
         return dt
 
-    print(f"batch={b} iters={args.iters} device={jax.devices()[0]}")
-    base = bench_variant("full step (baseline)")
-    bench_variant("pool_size=0", {"optim.pool_size": 0})
-    bench_variant("no dropout", {"model.use_dropout_g": False})
-    bench_variant("zero padding", {"model.padding_type": "zero"})
-    bench_variant("plain L1 (no VGG)", {"loss.l1_type": "origin"}, vgg=False)
-    bench_variant("dg_ratio=0 (G phase only)", {"optim.dg_ratio": 0})
-    bench_variant("instance norm", {"model.norm": "instance"})
+    print(f"batch={b} iters={args.iters} device={jax.devices()[0]}",
+          flush=True)
+    wanted = args.variants.split(",")
+    base = None
+    for key in wanted:
+        if key == "parts":
+            continue
+        name, overrides, vgg = VARIANTS[key]
+        dt = bench_variant(name, overrides, vgg)
+        if key == "base":
+            base = dt
+    if "parts" not in wanted:
+        print("\n| variant | ms/step | img/s |")
+        print("|---|---|---|")
+        for name, dt, ips in rows:
+            print(f"| {name} | {dt*1e3:.1f} | {ips:.1f} |")
+        return
+    base = base or 1.0
 
     # isolated sub-programs
     from mmhand_tpu.train import MMHandSystem
@@ -148,7 +171,8 @@ def main():
         def loss(p):
             out, _ = system.d_pb.apply(
                 {"params": p, "batch_stats": bs}, x, train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
             return jnp.mean(out * out)
         return jax.grad(loss)(params)
 
