@@ -80,11 +80,34 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     local_bsz = max(1, cfg.data.batch_size // n_dev)
     state = system.init_state(rng, local_batch_size=local_bsz)
 
+    ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
+    sched = LRSchedule(cfg)
+    sched_path = os.path.join(
+        cfg.run.checkpoints_dir, cfg.run.name, "lr_sched.json")
+    resume = cfg.run.continue_train and ckpt.has(cfg.run.which_epoch)
+
     if distributed:
         from jax.sharding import PartitionSpec as P
         mesh = make_mesh()
         step_fn = make_sharded_train_step(system, l1, mesh)
-        state = replicate_state_for_mesh(state, mesh, local=multiprocess)
+        if resume and multiprocess:
+            # checkpoints store GLOBALLY stacked pools (allgathered at
+            # save); restore the full state on every host, then keep only
+            # this host's pool shard before global assembly
+            template = jax.device_get(
+                replicate_state_for_mesh(state, mesh, local=False))
+            restored = ckpt.restore(template, cfg.run.which_epoch)
+            lo = host_id * n_local
+            state = restored.replace(
+                pool_pb=jax.tree.map(
+                    lambda x: x[lo:lo + n_local], restored.pool_pb),
+                pool_pp=jax.tree.map(
+                    lambda x: x[lo:lo + n_local], restored.pool_pp))
+        else:
+            state = replicate_state_for_mesh(state, mesh,
+                                             local=multiprocess)
+            if resume:
+                state = ckpt.restore(state, cfg.run.which_epoch)
         if multiprocess:
             # assemble per-host shards into global jax.Arrays (DCN path)
             from mmhand_tpu.parallel.sharding import make_global, state_specs
@@ -97,16 +120,12 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
         mesh = None
         step_fn = jax.jit(make_train_step(system, l1), donate_argnums=(0,))
         place = lambda b: b
+        if resume:
+            state = ckpt.restore(state, cfg.run.which_epoch)
 
-    ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
-    sched = LRSchedule(cfg)
-    sched_path = os.path.join(
-        cfg.run.checkpoints_dir, cfg.run.name, "lr_sched.json")
-    if cfg.run.continue_train and ckpt.has(cfg.run.which_epoch):
-        state = ckpt.restore(state, cfg.run.which_epoch)
-        if os.path.exists(sched_path):  # plateau state sidecar
-            with open(sched_path) as fh:
-                sched.load_state_dict(json.load(fh))
+    if resume and os.path.exists(sched_path):  # plateau state sidecar
+        with open(sched_path) as fh:
+            sched.load_state_dict(json.load(fh))
 
     vis = Visualizer(cfg.run.checkpoints_dir, cfg.run.name, master=master)
     vis.save_options(cfg)

@@ -31,13 +31,14 @@ assert jax.device_count() == 8 and jax.local_device_count() == 4
 from mmhand_tpu.config import Config, DataConfig, ModelConfig, OptimConfig, RunConfig
 from mmhand_tpu.train.loop import train
 
+resume = len(sys.argv) > 4 and sys.argv[4] == "resume"
 cfg = Config(
     model=ModelConfig(fine_size=32, g_n_blocks=1, ngf=8, ndf=8),
     optim=OptimConfig(pool_size=2),
     data=DataConfig(dataset="synthetic", batch_size=16),
     run=RunConfig(name="mhsmoke", checkpoints_dir=sys.argv[3],
                   print_freq=1000, display_freq=1000,
-                  save_latest_freq=1000))
+                  save_latest_freq=1000, continue_train=resume))
 r = train(cfg, max_steps=1, host_id=pid, num_hosts=2)
 vals = list(r.last_metrics.values())
 assert all(v == v for v in vals), vals  # finite
@@ -53,21 +54,21 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel_train_step(tmp_path):
+def _run_pair(tmp_path, resume=False):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = os.getcwd()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER, coord, str(pid), str(tmp_path)],
+    argv = [coord, None, str(tmp_path)] + (["resume"] if resume else [])
+    procs = []
+    for pid in range(2):
+        argv[1] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER] + argv,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            text=True, cwd=os.getcwd())
-        for pid in range(2)
-    ]
+            text=True, cwd=os.getcwd()))
     outs = []
     try:
         for p in procs:
@@ -80,6 +81,14 @@ def test_two_process_data_parallel_train_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MULTIHOST_OK {pid} 1" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step(tmp_path):
+    _run_pair(tmp_path)
     # checkpoint written once by process 0
     assert os.path.isdir(os.path.join(str(tmp_path), "mhsmoke",
                                       "state_latest"))
+    # second launch resumes from it: exercises the global-pool restore +
+    # per-host shard slicing path (loop.py multiprocess resume)
+    _run_pair(tmp_path, resume=True)
