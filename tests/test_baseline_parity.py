@@ -112,7 +112,6 @@ class TestPoseResNetParity:
     @pytest.mark.parametrize("size", [18, 50])
     def test_forward_matches_reference(self, refnets, size):
         from mmhand_tpu.models.baselines import (
-            POSE_RESNET_SPEC,
             PoseResNet,
             load_pose_resnet_state_dict,
         )
