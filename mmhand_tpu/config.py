@@ -41,6 +41,10 @@ class ModelConfig:
     use_dropout_g: bool = True     # not --no_dropout
     use_dropout_d: bool = True     # not --no_dropout_D
     fine_size: int = 256     # --fineSize
+    # TPU-native extension (no reference analog): rematerialize PATBlock
+    # elementwise tails in the backward pass, saving only conv outputs —
+    # trades a little recompute for activation HBM (enables larger batches)
+    g_remat: bool = False
 
     @property
     def g_input_nc(self) -> tuple[int, int, int]:

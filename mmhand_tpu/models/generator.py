@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -127,6 +128,7 @@ class Generator(nn.Module):
     use_dropout: bool = True
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.bfloat16
+    remat: bool = False  # save conv outputs, recompute elementwise tails
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
@@ -155,12 +157,22 @@ class Generator(nn.Module):
         # --- attention blocks (reference :226-237; n_blocks=9 hardcoded at
         # MMHandModel.py:156; cated_stream2 False only for block 0)
         dim = self.ngf * (2 ** self.n_downsampling)
+        block_cls = PATBlock
+        if self.remat:
+            # per-block gradient checkpointing that saves ONLY conv/BN-able
+            # outputs (checkpoint_name 'conv_out' tags in layers.py) and
+            # recomputes the cheap elementwise tails in the backward pass.
+            # static_argnums counts self: train is arg 4.
+            block_cls = nn.remat(
+                PATBlock, static_argnums=(4,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"))
         for i in range(self.n_blocks):
-            x1, x2, x3 = PATBlock(dim, cated_stream2=(i != 0),
-                                  norm=self.norm,
-                                  use_dropout=self.use_dropout,
-                                  pad_mode=self.pad_mode, dtype=self.dtype,
-                                  name=f"att{i}")(x1, x2, x3, train)
+            x1, x2, x3 = block_cls(dim, cated_stream2=(i != 0),
+                                   norm=self.norm,
+                                   use_dropout=self.use_dropout,
+                                   pad_mode=self.pad_mode, dtype=self.dtype,
+                                   name=f"att{i}")(x1, x2, x3, train)
 
         # --- upsample image stream (reference :240-259)
         for i in range(self.n_downsampling):

@@ -23,6 +23,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -219,7 +220,7 @@ class PadConv(nn.Module):
         if (impl == "border" and self.kernel == 3 and self.pad == 1
                 and self.stride == 1 and self.pad_mode == "reflect"):
             from mmhand_tpu.ops.reflect_conv import conv_reflect
-            return conv_reflect(xd, kd, bd)
+            return checkpoint_name(conv_reflect(xd, kd, bd), "conv_out")
 
         xd = pad2d(xd, self.pad, self.pad_mode)
         y = jax.lax.conv_general_dilated(
@@ -227,7 +228,7 @@ class PadConv(nn.Module):
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if bd is not None:
             y = y + bd
-        return y
+        return checkpoint_name(y, "conv_out")
 
 
 class StridedConv(nn.Module):
@@ -244,7 +245,7 @@ class StridedConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
-        return nn.Conv(
+        return checkpoint_name(nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -253,7 +254,7 @@ class StridedConv(nn.Module):
             kernel_init=conv_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )(x), "conv_out")
 
 
 class UpConv(nn.Module):

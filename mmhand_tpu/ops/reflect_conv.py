@@ -66,6 +66,61 @@ def _reflect_ext(row, p: int):
     return jnp.concatenate([left, row, right], axis=1)
 
 
+def _conv3_reflect_batched(x, kernel, bias):
+    """3x3/p=1 fast path for square inputs: all four border corrections as
+    ONE 4-way batched matmul.
+
+    The generic path issues 12 small dots + 4 dynamic-update-slices per conv
+    site; with ~54 reflect-conv sites in the full GAN step those small ops
+    are pure overhead (each is a 3-tap x Cin contraction — a fraction of an
+    MXU tile).  Here each border's three taps are concatenated along the
+    channel axis (contraction 3*Cin) and the four borders ride the batch
+    dimension of a single dot_general:
+
+      top    row 0   reads reflected row 1    -> kernel row 0 taps
+      bottom row H-1 reads reflected row H-2  -> kernel row 2 taps
+      left   col 0   reads col 1 (rows zero-padded; out-of-range rows are
+                     already covered by top/bottom)  -> kernel col 0 taps
+      right  col W-1 reads col W-2 (same)          -> kernel col 2 taps
+
+    Exactly equal to the generic path (same tap algebra, test_ops.py).
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # border source lines, each extended to length L+2 (L = W = H)
+    top = _reflect_ext(x[:, 1], 1)                      # (B, W+2, C)
+    bot = _reflect_ext(x[:, h - 2], 1)
+    left = jnp.pad(x[:, :, 1], [(0, 0), (1, 1), (0, 0)])
+    right = jnp.pad(x[:, :, w - 2], [(0, 0), (1, 1), (0, 0)])
+    lines = jnp.stack([top, bot, left, right], 0)       # (4, B, L+2, C)
+
+    # 3 shifted taps concatenated channelwise: (4, B, L, 3C) -> (4, B*L, 3C)
+    lhs = jnp.concatenate(
+        [lines[:, :, t:t + w] for t in range(3)], axis=-1)
+    lhs = lhs.reshape(4, b * w, 3 * cin)
+    # matching per-border kernels: (4, 3, C, Cout) -> (4, 3C, Cout)
+    rhs = jnp.stack(
+        [kernel[0], kernel[2], kernel[:, 0], kernel[:, 2]], 0)
+    rhs = rhs.reshape(4, 3 * cin, cout)
+
+    corr = jax.lax.dot_general(
+        lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    corr = corr.reshape(4, b, w, cout)
+
+    y = y.at[:, 0].add(corr[0])
+    y = y.at[:, -1].add(corr[1])
+    y = y.at[:, :, 0].add(corr[2])
+    y = y.at[:, :, -1].add(corr[3])
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def conv_reflect(x, kernel, bias=None):
     """Exact reflect-pad(p) + kxk VALID conv, NHWC, stride 1, k odd.
 
@@ -76,6 +131,8 @@ def conv_reflect(x, kernel, bias=None):
     """
     k = kernel.shape[0]
     p = k // 2
+    if k == 3 and x.shape[1] == x.shape[2] and x.shape[1] >= 4:
+        return _conv3_reflect_batched(x, kernel, bias)
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

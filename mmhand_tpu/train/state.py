@@ -74,7 +74,7 @@ class MMHandSystem:
             input_nc=m.g_input_nc, output_nc=m.output_nc, ngf=m.ngf,
             n_blocks=m.g_n_blocks, n_downsampling=m.g_n_downsampling,
             norm=norm, use_dropout=m.use_dropout_g,
-            pad_mode=m.padding_type, dtype=dtype))
+            pad_mode=m.padding_type, dtype=dtype, remat=m.g_remat))
         disc = lambda: Discriminator(
             ndf=m.ndf, n_blocks=m.n_layers_d,
             n_downsampling=m.d_n_downsampling, norm=norm,

@@ -43,6 +43,14 @@ def main(argv=None):
     parser.add_argument("--hpe_epochs", type=int, default=90)
     parser.add_argument("--checkpoints_dir", default="./checkpoints")
     parser.add_argument("--extra_gan_args", nargs="*", default=[])
+    parser.add_argument("--with_hand3d", action="store_true",
+                        help="also fine-tune + eval the second HPE stack "
+                             "(ColorHandPose3D posenet) on the generated "
+                             "data via the packed binary GAN DB — the "
+                             "reference's dual-judge study "
+                             "(hand3d training_posenet.py on "
+                             "BinaryDbReader_gan)")
+    parser.add_argument("--hand3d_iters", type=int, default=30000)
     args = parser.parse_args(argv)
 
     ds = args.dataset
@@ -82,6 +90,24 @@ def main(argv=None):
         run(["scripts/test_hpe.py", "--dataset", ds,
              "--dataroot", args.test_dataroot, "--name", hpe_name,
              "--checkpoints_dir", args.checkpoints_dir])
+
+        # 5. optional second judge: hand3d posenet fine-tuned on the
+        # generated data (reference hand3d training_posenet.py fed by
+        # BinaryDbReader_gan / create_GAN_DB outputs)
+        if args.with_hand3d and ratio < 1.0:
+            db = str(Path(args.checkpoints_dir) / f"gan_db_{tag}.bin")
+            run(["scripts/create_hand3d_db.py",
+                 "--dataroot", args.dataroot,
+                 "--images", augmentation_dir_for(args.dataroot,
+                                                  args.method),
+                 "--out", db])
+            run(["scripts/train_hand3d.py", "--net", "posenet",
+                 "--bin", db, "--name", f"h3d_{tag}",
+                 "--max_iter", str(args.hand3d_iters),
+                 "--checkpoints_dir", args.checkpoints_dir])
+            run(["scripts/eval_hand3d.py", "--mode", "2d",
+                 "--bin", db, "--name", f"h3d_{tag}",
+                 "--checkpoints_dir", args.checkpoints_dir])
 
 
 if __name__ == "__main__":

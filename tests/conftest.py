@@ -9,6 +9,11 @@ must run before any backend initialization.
 
 import os
 
+# XLA:CPU AOT cache reloads can SIGILL on pseudo machine-feature mismatches
+# (see CLAUDE.md); keep the persistent compile cache TPU-only even when a
+# test imports a script module whose setup_runtime() would enable it.
+os.environ["MMHAND_COMPILE_CACHE"] = "0"
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

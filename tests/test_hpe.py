@@ -230,6 +230,9 @@ class TestHPEDataParallel:
 
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
+        # restore the persistent compile cache for the worker subprocess
+        # (conftest zeroes it in-process; see test_multihost._run_pair)
+        env.pop("MMHAND_COMPILE_CACHE", None)
         env["PYTHONPATH"] = os.getcwd()
         # single codegen split: the parallel LLVM codegen is what aborts
         # under CPU contention

@@ -59,6 +59,11 @@ def _run_pair(tmp_path, resume=False):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # conftest forces MMHAND_COMPILE_CACHE=0 for in-process tests (CPU AOT
+    # SIGILL guard); the worker subprocesses compile their own program and
+    # rely on the persistent cache to stay within the gloo rendezvous
+    # window on repeat runs — restore it for them (status quo of r1/r2).
+    env.pop("MMHAND_COMPILE_CACHE", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = os.getcwd()
     argv = [coord, None, str(tmp_path)] + (["resume"] if resume else [])

@@ -185,7 +185,9 @@ class TestReflectConv:
         import jax.numpy as jnp
         from mmhand_tpu.ops.reflect_conv import conv_reflect
         rng = np.random.RandomState(0)
-        for k, shape in [(3, (2, 8, 8, 4, 5)), (7, (2, 12, 12, 4, 5)),
+        for k, shape in [(3, (2, 8, 8, 4, 5)),   # square -> batched fast path
+                         (3, (1, 6, 9, 3, 4)),   # non-square -> generic path
+                         (7, (2, 12, 12, 4, 5)),
                          (5, (1, 10, 11, 3, 4))]:
             p = k // 2
             b, h, w, cin, cout = shape

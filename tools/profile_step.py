@@ -88,6 +88,8 @@ VARIANTS = {
     "novgg": ("plain L1 (no VGG)", {"loss.l1_type": "origin"}, False),
     "gonly": ("dg_ratio=0 (G phase only)", {"optim.dg_ratio": 0}, True),
     "instnorm": ("instance norm", {"model.norm": "instance"}, True),
+    "remat": ("PATBlock remat (save conv outs)", {"model.g_remat": True},
+              True),
 }
 
 
