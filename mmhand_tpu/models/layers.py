@@ -217,10 +217,14 @@ class PadConv(nn.Module):
         # much worse (44.2 -> 32.8 img/s) and is never used.
         import os
         impl = os.environ.get("MMHAND_REFLECT_IMPL", "border")
-        if (impl == "border" and self.kernel == 3 and self.pad == 1
-                and self.stride == 1 and self.pad_mode == "reflect"):
-            from mmhand_tpu.ops.reflect_conv import conv_reflect
-            return checkpoint_name(conv_reflect(xd, kd, bd), "conv_out")
+        if (impl in ("border", "dusonly") and self.kernel == 3
+                and self.pad == 1 and self.stride == 1
+                and self.pad_mode == "reflect"):
+            from mmhand_tpu.ops import reflect_conv as rc
+            if impl == "dusonly":  # profiling-only, wrong numerics
+                return checkpoint_name(
+                    rc.conv3_reflect_dusonly(xd, kd, bd), "conv_out")
+            return checkpoint_name(rc.conv_reflect(xd, kd, bd), "conv_out")
 
         xd = pad2d(xd, self.pad, self.pad_mode)
         y = jax.lax.conv_general_dilated(

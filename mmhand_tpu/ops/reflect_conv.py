@@ -121,6 +121,32 @@ def _conv3_reflect_batched(x, kernel, bias):
     return y
 
 
+def conv3_reflect_dusonly(x, kernel, bias):
+    """PROFILING ONLY — WRONG NUMERICS.  Keeps the border-line stacking and
+    the 4 dynamic-update-slice adds of the batched fast path but replaces
+    the correction matmuls with a free broadcast, isolating the DUS/copy
+    cost from the matmul cost (MMHAND_REFLECT_IMPL=dusonly)."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    top = _reflect_ext(x[:, 1], 1)
+    bot = _reflect_ext(x[:, h - 2], 1)
+    left = jnp.pad(x[:, :, 1], [(0, 0), (1, 1), (0, 0)])
+    right = jnp.pad(x[:, :, w - 2], [(0, 0), (1, 1), (0, 0)])
+    lines = jnp.stack([top, bot, left, right], 0)
+    corr = jnp.broadcast_to(lines[:, :, 1:w + 1, :1],
+                            (4, b, w, cout)).astype(x.dtype)
+    y = y.at[:, 0].add(corr[0])
+    y = y.at[:, -1].add(corr[1])
+    y = y.at[:, :, 0].add(corr[2])
+    y = y.at[:, :, -1].add(corr[3])
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def conv_reflect(x, kernel, bias=None):
     """Exact reflect-pad(p) + kxk VALID conv, NHWC, stride 1, k odd.
 

@@ -492,3 +492,20 @@ class TestHand3dSharded:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert np.isfinite(float(l1))
         assert int(g1.step) == 1
+
+
+class TestRunDemo:
+    def test_run_hand3d_overlay_outputs(self, tmp_path):
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        img = tmp_path / "hand.png"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(img)
+        from scripts.run_hand3d import main
+        main([str(img), "--out_dir", str(tmp_path / "demo"),
+              "--size", "32", "--crop_size", "32"])
+        import json
+        assert (tmp_path / "demo" / "hand_crop_kp.png").exists()
+        meta = json.loads(
+            (tmp_path / "demo" / "hand_coord3d.json").read_text())
+        c = np.asarray(meta["keypoint_coord3d"])
+        assert c.shape == (21, 3) and np.isfinite(c).all()
