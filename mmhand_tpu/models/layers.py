@@ -216,17 +216,47 @@ class PadConv(nn.Module):
         # The 7x7 border decomposition (24 corrections x 7 taps) measured
         # much worse (44.2 -> 32.8 img/s) and is never used.
         import os
-        impl = os.environ.get("MMHAND_REFLECT_IMPL", "border")
-        if (impl in ("border", "dusonly") and self.kernel == 3
+        # Full-step A/B (r3, img/s): padadd 44.71 / 45.39 with the d2s
+        # head; DUS border-correction ("border") 44.29.  padadd default.
+        impl = os.environ.get("MMHAND_REFLECT_IMPL", "padadd")
+        if (impl in ("border", "dusonly", "padadd") and self.kernel == 3
                 and self.pad == 1 and self.stride == 1
                 and self.pad_mode == "reflect"):
             from mmhand_tpu.ops import reflect_conv as rc
             if impl == "dusonly":  # profiling-only, wrong numerics
                 return checkpoint_name(
                     rc.conv3_reflect_dusonly(xd, kd, bd), "conv_out")
+            if impl == "border":  # DUS formulation (pre-r3 default)
+                return checkpoint_name(
+                    rc._conv3_reflect_batched(xd, kd, bd), "conv_out")
             return checkpoint_name(rc.conv_reflect(xd, kd, bd), "conv_out")
 
         xd = pad2d(xd, self.pad, self.pad_mode)
+
+        # Space-to-depth reformulation for MXU-starved stems/heads: the r3
+        # xplane profile showed the 7x7 stems (Cin 3/6/24/42) at 15-33% MXU
+        # and out_conv (Cout 3) at 2-5% — the channel dim is what the MXU
+        # contracts/tiles over.  conv_s2d folds 2x2 pixels into channels
+        # (exact; ops/s2d_conv.py); conv_d2s_out fattens the output tile.
+        # Full-step A/B (r3, 256px batch16, img/s): direct 44.29; stem s2d
+        # 40.67 (the (B,262,262,C) relayout passes cost more than the MXU
+        # win — OFF by default); head d2s 44.99 (small real win — ON).
+        if (self.stride == 1 and self.kernel > 1
+                and self.pad * 2 + 1 == self.kernel):
+            from mmhand_tpu.ops import s2d_conv
+            hp, wp = xd.shape[1], xd.shape[2]
+            ho, wo = hp - self.kernel + 1, wp - self.kernel + 1
+            div2 = all(v % 2 == 0 for v in (hp, wp, ho, wo))
+            if (div2 and self.features <= 16 and in_features >= 32
+                    and os.environ.get("MMHAND_HEAD_IMPL", "d2s") == "d2s"):
+                f = 4 if ho % 4 == 0 and wo % 4 == 0 else 2
+                return checkpoint_name(
+                    s2d_conv.conv_d2s_out(xd, kd, bd, f=f), "conv_out")
+            if (div2 and in_features <= 48 and self.features >= 32
+                    and os.environ.get("MMHAND_STEM_IMPL", "direct") == "s2d"):
+                return checkpoint_name(
+                    s2d_conv.conv_s2d(xd, kd, bd, f=2), "conv_out")
+
         y = jax.lax.conv_general_dilated(
             xd, kd, window_strides=(self.stride, self.stride),
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -249,6 +279,19 @@ class StridedConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
+        import os
+        if (os.environ.get("MMHAND_DOWN_IMPL", "direct") == "s2d"
+                and self.stride > 1
+                and (x.shape[1] + 2 * p) % self.stride == 0
+                and (x.shape[2] + 2 * p) % self.stride == 0):
+            # stride-matched space-to-depth: zero FLOP overhead, but the
+            # full-step A/B (r3) measured 37.91 vs 44.29 img/s — the input
+            # relayout pass dominates; OFF by default, kept for profiling.
+            # name="Conv_0" keeps the param tree identical to the nn.Conv
+            # branch (checkpoint/converter compatibility).
+            y = _S2dStrideConv(self.features, self.kernel, self.stride, p,
+                               self.use_bias, self.dtype, name="Conv_0")(x)
+            return checkpoint_name(y, "conv_out")
         return checkpoint_name(nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -259,6 +302,34 @@ class StridedConv(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x), "conv_out")
+
+
+class _S2dStrideConv(nn.Module):
+    """Strided zero-padded conv via ops.s2d_conv.conv_stride_s2d with the
+    same param names/shapes as nn.Conv ('kernel' HWIO, 'bias')."""
+
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from mmhand_tpu.ops import s2d_conv
+        kernel = self.param(
+            "kernel", conv_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        p = self.padding
+        xd = jnp.pad(x.astype(self.dtype), [(0, 0), (p, p), (p, p), (0, 0)])
+        return s2d_conv.conv_stride_s2d(
+            xd, kernel.astype(self.dtype), self.stride,
+            bias.astype(self.dtype) if bias is not None else None)
 
 
 class UpConv(nn.Module):

@@ -225,3 +225,101 @@ class TestReflectConv:
         gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
         np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=1e-4)
+
+
+class TestS2dConv:
+    """ops/s2d_conv.py: exact space-to-depth conv reformulations (r3)."""
+
+    def test_conv_s2d_exact(self):
+        import jax.numpy as jnp
+        from mmhand_tpu.ops import s2d_conv
+        rng = np.random.RandomState(0)
+        for k, hp, cin, cout in [(7, 22, 5, 9), (3, 12, 4, 6), (7, 30, 3, 8)]:
+            x = jnp.asarray(rng.normal(size=(2, hp, hp, cin))
+                            .astype(np.float32))
+            kern = jnp.asarray(rng.normal(size=(k, k, cin, cout))
+                               .astype(np.float32))
+            bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+            ref = s2d_conv._np_ref(x, kern) + np.asarray(bias)
+            got = np.asarray(s2d_conv.conv_s2d(x, kern, bias, f=2))
+            np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_conv_d2s_out_exact(self):
+        import jax.numpy as jnp
+        from mmhand_tpu.ops import s2d_conv
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.normal(size=(2, 22, 22, 8)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(7, 7, 8, 3)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+        ref = s2d_conv._np_ref(x, kern) + np.asarray(bias)
+        for f in (2, 4):
+            got = np.asarray(s2d_conv.conv_d2s_out(x, kern, bias, f=f))
+            np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_conv_stride_s2d_exact(self):
+        import jax.numpy as jnp
+        from mmhand_tpu.ops import s2d_conv
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.normal(size=(2, 18, 18, 4)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        ref = s2d_conv._np_ref(x, kern, stride=2) + np.asarray(bias)
+        got = np.asarray(s2d_conv.conv_stride_s2d(x, kern, 2, bias))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_gradients_match_direct(self):
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.ops import s2d_conv
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.normal(size=(1, 10, 10, 4)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(7, 7, 4, 8)).astype(np.float32))
+
+        def loss_s2d(x, k):
+            return jnp.sum(s2d_conv.conv_s2d(x, k, f=2) ** 2)
+
+        def loss_ref(x, k):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y ** 2)
+
+        gx1, gk1 = jax.grad(loss_s2d, argnums=(0, 1))(x, kern)
+        gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_padconv_stridedconv_route_parity(self, monkeypatch):
+        """PadConv 7x7 stems / StridedConv under the s2d env knobs equal the
+        direct lowering and keep an identical param tree."""
+        import jax
+        import jax.numpy as jnp
+        from mmhand_tpu.models.layers import NormConfig, PadConv, StridedConv
+        rng = np.random.RandomState(4)
+        x42 = jnp.asarray(rng.normal(size=(2, 32, 32, 42)).astype(np.float32))
+        x64 = jnp.asarray(rng.normal(size=(2, 32, 32, 64)).astype(np.float32))
+
+        def run(env):
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            stem = PadConv(64, 7, pad=3)
+            head = PadConv(3, 7, pad=3)
+            down = StridedConv(128)
+            vs_s = stem.init(jax.random.PRNGKey(0), x42)
+            vs_h = head.init(jax.random.PRNGKey(1), x64)
+            vs_d = down.init(jax.random.PRNGKey(2), x64)
+            return (stem.apply(vs_s, x42), head.apply(vs_h, x64),
+                    down.apply(vs_d, x64),
+                    jax.tree_util.tree_structure((vs_s, vs_h, vs_d)))
+
+        on = run({"MMHAND_STEM_IMPL": "s2d", "MMHAND_HEAD_IMPL": "d2s",
+                  "MMHAND_DOWN_IMPL": "s2d"})
+        off = run({"MMHAND_STEM_IMPL": "direct", "MMHAND_HEAD_IMPL": "direct",
+                   "MMHAND_DOWN_IMPL": "direct"})
+        assert on[3] == off[3]
+        for a, b in zip(on[:3], off[:3]):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=2e-2, atol=2e-2)
