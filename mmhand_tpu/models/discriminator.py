@@ -59,12 +59,19 @@ class Discriminator(nn.Module):
     pad_mode: str = "reflect"
     use_sigmoid: bool = False  # define_D always passes False (MMHandModel.py:190)
     dtype: Dtype = jnp.bfloat16
+    # stem_grad_split > 0: compute the 7x7 stem as two channel-block convs
+    # split at this input channel (PadConv.grad_split).  Bit-equivalent;
+    # used by the train step's G-loss applies, where only the first 3 input
+    # channels (the generated image) carry gradient — the conditioning
+    # channels' MXU-starved input-gradient conv then dead-codes away.
+    stem_grad_split: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         x = ConvNormRelu(self.ndf, 7, self.norm, pad=3, pad_mode="reflect",
-                         dtype=self.dtype, name="in_conv")(x, train)
+                         dtype=self.dtype, name="in_conv",
+                         conv_grad_split=self.stem_grad_split)(x, train)
 
         if self.n_downsampling <= 2:
             for i in range(self.n_downsampling):

@@ -24,6 +24,7 @@ Deliberately-preserved reference quirk: PATBlock returns
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -36,9 +37,74 @@ from mmhand_tpu.models.layers import (
     NormConfig,
     PadConv,
     UpConv,
+    checkpoint_name,
+    pad2d,
 )
 
 Dtype = Any
+
+
+class _StemBlock(nn.Module):
+    """Param-tree twin of the stem ConvNormRelu for the fused-stems path.
+
+    Creates the identical children (PadConv_0, Norm_0) so checkpoints and
+    converters are interchangeable with the unfused path, but exposes the
+    conv params (`conv_params`) and the norm+relu tail (`finish`)
+    separately: the parent computes all three stem convs as ONE
+    block-diagonal 7x7 conv (see Generator.__call__)."""
+
+    features: int
+    kernel: int
+    norm: NormConfig
+    pad: int
+    dtype: Dtype
+
+    def setup(self):
+        self.conv = PadConv(self.features, self.kernel, pad=self.pad,
+                            pad_mode="reflect", use_bias=self.norm.use_bias,
+                            dtype=self.dtype, params_only=True,
+                            name="PadConv_0")
+        self.norm_m = Norm(self.norm, dtype=self.dtype, name="Norm_0")
+
+    def conv_params(self, x):
+        return self.conv(x)
+
+    def finish(self, y, train: bool = True):
+        return nn.relu(self.norm_m(y, train))
+
+
+def _fused_stem_conv(xs, kbs, pad: int):
+    """One block-diagonal 7x7 reflect conv over the channel-concatenated
+    streams == the three per-stream convs, exactly (the off-block kernel
+    entries are zeros, contributing exact 0 to the f32 accumulators).
+
+    The per-stream convs are MXU-starved (Cin 3/42/6 at 256px: ~24 ms/step
+    fwd+dK at the r3 profile); the fused conv has contraction 51*49 and 192
+    output lanes, and pays one padded-input pass instead of three."""
+    xcat = jnp.concatenate(xs, axis=-1)
+    xp = pad2d(xcat, pad, "reflect")
+    cins = [x.shape[-1] for x in xs]
+    feats = [k.shape[-1] for k, _ in kbs]
+    kk = kbs[0][0]
+    big = jnp.zeros((kk.shape[0], kk.shape[1], sum(cins), sum(feats)),
+                    kk.dtype)
+    ci = co = 0
+    for (k, _), c in zip(kbs, cins):
+        big = big.at[:, :, ci:ci + c, co:co + k.shape[-1]].set(k)
+        ci += c
+        co += k.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        xp, big, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if kbs[0][1] is not None:
+        y = y + jnp.concatenate([b for _, b in kbs])
+    y = checkpoint_name(y, "conv_out")
+    splits = []
+    co = 0
+    for f in feats:
+        splits.append(y[..., co:co + f])
+        co += f
+    return splits
 
 
 class _AttConvBlock(nn.Module):
@@ -138,10 +204,7 @@ class Generator(nn.Module):
         x3 = x3.astype(self.dtype)
 
         # --- downsample stems (reference :158-223)
-        def stem(x, name):
-            x = ConvNormRelu(self.ngf, 7, self.norm, pad=3,
-                             pad_mode="reflect", dtype=self.dtype,
-                             name=f"{name}_in")(x, train)
+        def down(x, name):
             for i in range(self.n_downsampling):
                 mult = 2 ** i
                 x = ConvNormRelu(self.ngf * mult * 2, 3, self.norm, stride=2,
@@ -150,9 +213,27 @@ class Generator(nn.Module):
                                  name=f"{name}_down{i}")(x, train)
             return x
 
-        x1 = stem(x1, "stream1")
-        x2 = stem(x2, "stream2")
-        x3 = stem(x3, "stream3")
+        if os.environ.get("MMHAND_G_STEM_FUSED", "0") == "1":
+            # One block-diagonal conv for all three 7x7 stems (exact; see
+            # _fused_stem_conv).  Param tree identical to the unfused path.
+            shells = [
+                _StemBlock(self.ngf, 7, self.norm, 3, self.dtype,
+                           name=f"stream{i}_in") for i in (1, 2, 3)]
+            kbs = [sh.conv_params(x)
+                   for sh, x in zip(shells, (x1, x2, x3))]
+            ys = _fused_stem_conv((x1, x2, x3), kbs, pad=3)
+            x1, x2, x3 = (down(sh.finish(y, train), f"stream{i}")
+                          for i, (sh, y) in enumerate(zip(shells, ys), 1))
+        else:
+            def stem(x, name):
+                x = ConvNormRelu(self.ngf, 7, self.norm, pad=3,
+                                 pad_mode="reflect", dtype=self.dtype,
+                                 name=f"{name}_in")(x, train)
+                return down(x, name)
+
+            x1 = stem(x1, "stream1")
+            x2 = stem(x2, "stream2")
+            x3 = stem(x3, "stream3")
 
         # --- attention blocks (reference :226-237; n_blocks=9 hardcoded at
         # MMHandModel.py:156; cated_stream2 False only for block 0)

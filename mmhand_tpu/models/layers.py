@@ -192,6 +192,17 @@ class PadConv(nn.Module):
     pad_mode: str = "reflect"
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
+    # params_only: declare kernel/bias and return them (compute-dtype cast)
+    # instead of convolving — lets a parent fuse several PadConvs into one
+    # conv (Generator fused stems) while keeping this param tree.
+    params_only: bool = False
+    # grad_split > 0: compute the conv as conv(x[..:s]) + conv(x[s:..]) on
+    # input-channel blocks (bit-equivalent: zero contributions commute).
+    # Used for discriminator stems inside the G loss, where only the first
+    # `s` input channels (the generated image) carry gradient — the split
+    # lets XLA dead-code the conditioning channels' input-gradient conv
+    # (9.07 + 4.64 ms/step of MXU-starved 7x7 bwd at r3 profile).
+    grad_split: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -206,6 +217,20 @@ class PadConv(nn.Module):
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         bd = bias.astype(self.dtype) if bias is not None else None
+        if self.params_only:
+            return kd, bd
+
+        s = self.grad_split
+        if 0 < s < in_features and self.stride == 1:
+            xp = pad2d(xd, self.pad, self.pad_mode)
+            conv = lambda lhs, rhs: jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = (conv(xp[..., :s], kd[:, :, :s])
+                 + conv(xp[..., s:], kd[:, :, s:]))
+            if bd is not None:
+                y = y + bd
+            return checkpoint_name(y, "conv_out")
 
         # Reflect-conv implementation choice, A/B'd at full-step level on
         # the chip (r2: border 44.65 img/s vs concat 42.74; see BASELINE.md):
@@ -426,6 +451,7 @@ class ConvNormRelu(nn.Module):
     pad_mode: str = "reflect"
     zero_pad_in_conv: bool = False  # torch-style conv padding instead of pre-pad
     dtype: Dtype = jnp.bfloat16
+    conv_grad_split: int = 0  # see PadConv.grad_split
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -436,6 +462,7 @@ class ConvNormRelu(nn.Module):
         else:
             x = PadConv(self.features, self.kernel, self.stride, self.pad,
                         self.pad_mode, use_bias=self.norm.use_bias,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype,
+                        grad_split=self.conv_grad_split)(x)
         x = Norm(self.norm, dtype=self.dtype)(x, train)
         return nn.relu(x)

@@ -75,12 +75,23 @@ class MMHandSystem:
             n_blocks=m.g_n_blocks, n_downsampling=m.g_n_downsampling,
             norm=norm, use_dropout=m.use_dropout_g,
             pad_mode=m.padding_type, dtype=dtype, remat=m.g_remat))
-        disc = lambda: Discriminator(
+        disc = lambda **kw: Discriminator(
             ndf=m.ndf, n_blocks=m.n_layers_d,
             n_downsampling=m.d_n_downsampling, norm=norm,
-            use_dropout=m.use_dropout_d, pad_mode=m.padding_type, dtype=dtype)
+            use_dropout=m.use_dropout_d, pad_mode=m.padding_type, dtype=dtype,
+            **kw)
         object.__setattr__(self, "d_pb", disc())
         object.__setattr__(self, "d_pp", disc())
+        # Same parameter tree, stem computed as two channel-block convs
+        # split at the generated-image boundary (bit-equivalent); used for
+        # the G-loss applies only, where the conditioning channels carry no
+        # gradient — their MXU-starved 7x7 input-grad conv dead-codes away
+        # (r3 profile: 9.07 + 4.64 ms/step).  MMHAND_DSTEM_SPLIT=0 disables.
+        import os
+        split = (m.output_nc
+                 if os.environ.get("MMHAND_DSTEM_SPLIT", "1") != "0" else 0)
+        object.__setattr__(self, "d_pb_gsplit", disc(stem_grad_split=split))
+        object.__setattr__(self, "d_pp_gsplit", disc(stem_grad_split=split))
         object.__setattr__(self, "tx", make_optimizer(
             self.config.optim.beta1, self.config.optim.beta2))
 

@@ -187,11 +187,15 @@ def make_train_step(system: MMHandSystem, l1_loss):
             # D forwards for the G objective use current D params; their
             # batch-stat updates are discarded (torch updates running stats
             # here too, but those only matter at eval — noted divergence).
+            # _gsplit variants share the D param trees but compute the 7x7
+            # stem as two channel-block convs split at the fake|conditioning
+            # boundary, so only the fake image's input-grad conv survives
+            # the backward pass (state.py).
             pred_pb, _ = apply_d(
-                system.d_pb, state.d_pb,
+                system.d_pb_gsplit, state.d_pb,
                 jnp.concatenate([fake, p2], -1), k_dpb)
             pred_pp, _ = apply_d(
-                system.d_pp, state.d_pp,
+                system.d_pp_gsplit, state.d_pp,
                 jnp.concatenate([fake, h1], -1), k_dpp)
             loss_gan_pb = gan_loss(pred_pb, True, gan_mode)
             loss_gan_pp = gan_loss(pred_pp, True, gan_mode)

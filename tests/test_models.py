@@ -143,3 +143,87 @@ class TestUpConvDecomposition:
         v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
         y = m.apply(v, jnp.zeros((1, 8, 8, 3)))
         assert y.shape == (1, 16, 16, 4)
+
+
+class TestFusedStems:
+    """MMHAND_G_STEM_FUSED=1: one block-diagonal 7x7 conv for the three
+    stems — identical param tree and (near-bit) identical outputs."""
+
+    def _small_g(self):
+        return Generator(ngf=16, n_blocks=2, n_downsampling=2,
+                         norm=NormConfig(kind="batch"), use_dropout=False,
+                         dtype=jnp.float32)
+
+    def test_fused_matches_unfused(self, rngs, monkeypatch):
+        g = self._small_g()
+        b = 2
+        inp = (jnp.asarray(np.random.RandomState(0)
+                           .normal(size=(b, 64, 64, 3)), jnp.float32),
+               jnp.asarray(np.random.RandomState(1)
+                           .normal(size=(b, 64, 64, 42)), jnp.float32),
+               jnp.asarray(np.random.RandomState(2)
+                           .normal(size=(b, 64, 64, 6)), jnp.float32))
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
+        vs = g.init(rngs, inp, train=False)
+        y0 = g.apply(vs, inp, train=False)
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "1")
+        vs1 = g.init(rngs, inp, train=False)
+        assert (jax.tree_util.tree_structure(vs)
+                == jax.tree_util.tree_structure(vs1))
+        for a, c in zip(jax.tree.leaves(vs), jax.tree.leaves(vs1)):
+            assert a.shape == c.shape
+        y1 = g.apply(vs, inp, train=False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fused_gradients_match(self, rngs, monkeypatch):
+        g = self._small_g()
+        inp = tuple(
+            jnp.asarray(np.random.RandomState(i).normal(size=(1, 32, 32, c)),
+                        jnp.float32) for i, c in enumerate((3, 42, 6)))
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
+        vs = g.init(rngs, inp, train=False)
+
+        def loss(params, fused):
+            import os
+            os.environ["MMHAND_G_STEM_FUSED"] = fused
+            out = g.apply({"params": params,
+                           "batch_stats": vs["batch_stats"]},
+                          inp, train=False)
+            return jnp.sum(out ** 2)
+
+        g0 = jax.grad(lambda p: loss(p, "0"))(vs["params"])
+        g1 = jax.grad(lambda p: loss(p, "1"))(vs["params"])
+        for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-3, atol=1e-3)
+
+
+class TestDStemGradSplit:
+    """stem_grad_split: channel-block-decomposed 7x7 stem conv is
+    bit-comparable in outputs and gradients to the fused stem."""
+
+    def test_outputs_and_grads_match(self, rngs):
+        norm = NormConfig(kind="batch")
+        d0 = Discriminator(ndf=16, n_blocks=1, norm=norm, use_dropout=False,
+                           dtype=jnp.float32)
+        d1 = Discriminator(ndf=16, n_blocks=1, norm=norm, use_dropout=False,
+                           dtype=jnp.float32, stem_grad_split=3)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .normal(size=(2, 64, 64, 24)), jnp.float32)
+        vs = d0.init(rngs, x, train=False)
+        assert (jax.tree_util.tree_structure(d1.init(rngs, x, train=False))
+                == jax.tree_util.tree_structure(vs))
+        y0 = d0.apply(vs, x, train=False)
+        y1 = d1.apply(vs, x, train=False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(module, img):
+            xin = jnp.concatenate([img, x[..., 3:]], -1)
+            return jnp.sum(module.apply(vs, xin, train=False) ** 2)
+
+        ga = jax.grad(lambda im: loss(d0, im))(x[..., :3])
+        gb = jax.grad(lambda im: loss(d1, im))(x[..., :3])
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-3, atol=1e-3)

@@ -61,7 +61,8 @@ def load_xspaces(out_dir: str):
     return xs
 
 
-def report(out_dir: str, top: int, iters: int) -> None:
+def report(out_dir: str, top: int, iters: int,
+           cat_filter: str | None = None) -> None:
     xs = load_xspaces(out_dir)
     planes = {p.name: p for p in xs.planes}
     dev = None
@@ -84,6 +85,7 @@ def report(out_dir: str, top: int, iters: int) -> None:
     by_cat = collections.Counter()
     by_op = collections.Counter()
     op_count = collections.Counter()
+    op_cat = {}
     total_ps = 0
     for line in plane.lines:
         # ONLY the serialized execution line: "Async XLA Ops" spans overlap
@@ -112,6 +114,7 @@ def report(out_dir: str, top: int, iters: int) -> None:
             by_cat[cat or "?"] += dur
             by_op[name] += dur
             op_count[name] += 1
+            op_cat[name] = cat or "?"
 
     if total_ps == 0:
         print("no XLA-op events; lines present:")
@@ -126,12 +129,19 @@ def report(out_dir: str, top: int, iters: int) -> None:
     print("|---|---|---|")
     for cat, d in by_cat.most_common():
         print(f"| {cat} | {d*ms/iters:8.2f} | {100*d/total_ps:5.1f}% |")
-    print(f"\n## top {top} ops")
-    print("| op | calls | ms/step | share |")
-    print("|---|---|---|---|")
-    for name, d in by_op.most_common(top):
-        print(f"| {name[:90]} | {op_count[name]} | {d*ms/iters:8.2f} "
-              f"| {100*d/total_ps:5.1f}% |")
+    print(f"\n## top {top} ops" + (f" (category ~ {cat_filter!r})"
+                                   if cat_filter else ""))
+    print("| cat | op | calls | ms/step | share |")
+    print("|---|---|---|---|---|")
+    shown = 0
+    for name, d in by_op.most_common():
+        if cat_filter and cat_filter not in op_cat[name]:
+            continue
+        print(f"| {op_cat[name]} | {name[:110]} | {op_count[name]} "
+              f"| {d*ms/iters:8.2f} | {100*d/total_ps:5.1f}% |")
+        shown += 1
+        if shown >= top:
+            break
 
 
 def main() -> None:
@@ -141,12 +151,13 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dir", default="/tmp/mmhand_profile")
     ap.add_argument("--parse-only", default=None)
+    ap.add_argument("--cat", default=None, help="substring filter on hlo category")
     args = ap.parse_args()
     if args.parse_only:
-        report(args.parse_only, args.top, args.iters)
+        report(args.parse_only, args.top, args.iters, args.cat)
         return
     capture(args.batch, args.iters, args.dir)
-    report(args.dir, args.top, args.iters)
+    report(args.dir, args.top, args.iters, args.cat)
 
 
 if __name__ == "__main__":
