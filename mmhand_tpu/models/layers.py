@@ -429,10 +429,40 @@ def _upconv3_pixel_shuffle(x, w):
             inp, kern, window_strides=(1, 1), padding=(pad_h, pad_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+    # Interleave-implementation knob (r3): the original 3-stack interleave
+    # ("stack") shows ~3-4 ms/step of f32 relayout copies in the xplane
+    # profile; the candidates express the shuffle as depth_to_space on
+    # channel-concatenated parity planes ("d2s"), or compute all four
+    # parity planes with ONE 2x2 conv over an end-padded input ("conv4",
+    # 16/9 the MACs but one dispatch + no plane concat).  All exact.
+    import os
+    impl = os.environ.get("MMHAND_UPCONV_SHUFFLE", "stack")
+    if impl == "conv4":
+        # K4[(u,v), :, (a,b,co)]: y[2i+a, 2j+b] = sum_uv xpad[i+u, j+v] K
+        # with K derived from the parity decomposition below.
+        k4 = jnp.zeros((2, 2, cin, 4, cout), w.dtype)
+        k4 = k4.at[0, 0, :, 0].set(w[1, 1])              # ee
+        k4 = k4.at[0, 0, :, 1].set(w[1, 0])              # eo taps
+        k4 = k4.at[0, 1, :, 1].set(w[1, 2])
+        k4 = k4.at[0, 0, :, 2].set(w[0, 1])              # oe taps
+        k4 = k4.at[1, 0, :, 2].set(w[2, 1])
+        k4 = k4.at[0, 0, :, 3].set(w[0, 0])              # oo taps
+        k4 = k4.at[0, 1, :, 3].set(w[0, 2])
+        k4 = k4.at[1, 0, :, 3].set(w[2, 0])
+        k4 = k4.at[1, 1, :, 3].set(w[2, 2])
+        y4 = conv(x, k4.reshape(2, 2, cin, 4 * cout), (0, 1), (0, 1))
+        from mmhand_tpu.ops.s2d_conv import depth_to_space
+        return depth_to_space(y4, 2)
+
     y_ee = conv(x, w[1:2, 1:2], (0, 0), (0, 0))
     y_eo = conv(x, w[1:2, 0::2], (0, 0), (0, 1))
     y_oe = conv(x, w[0::2, 1:2], (0, 1), (0, 0))
     y_oo = conv(x, w[0::2, 0::2], (0, 1), (0, 1))
+
+    if impl == "d2s":
+        from mmhand_tpu.ops.s2d_conv import depth_to_space
+        return depth_to_space(
+            jnp.concatenate([y_ee, y_eo, y_oe, y_oo], axis=-1), 2)
 
     # interleave columns then rows (pixel shuffle)
     top = jnp.stack([y_ee, y_eo], axis=3).reshape(b, h, 2 * wd, cout)

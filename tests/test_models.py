@@ -227,3 +227,43 @@ class TestDStemGradSplit:
         gb = jax.grad(lambda im: loss(d1, im))(x[..., :3])
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestUpConvShuffleVariants:
+    """MMHAND_UPCONV_SHUFFLE: the d2s and single-2x2-conv ('conv4')
+    interleave formulations equal the stack interleave exactly."""
+
+    def test_variants_match_stack(self, monkeypatch):
+        from mmhand_tpu.models.layers import UpConv
+        x = jnp.asarray(np.random.RandomState(0)
+                        .normal(size=(2, 8, 8, 6)), jnp.float32)
+        m = UpConv(5, use_bias=True, dtype=jnp.float32)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("MMHAND_UPCONV_SHUFFLE", "stack")
+        y0 = m.apply(vs, x)
+        assert y0.shape == (2, 16, 16, 5)
+        for impl in ("d2s", "conv4"):
+            monkeypatch.setenv("MMHAND_UPCONV_SHUFFLE", impl)
+            np.testing.assert_allclose(
+                np.asarray(m.apply(vs, x)), np.asarray(y0),
+                rtol=1e-5, atol=1e-5, err_msg=impl)
+
+    def test_variant_gradients_match(self, monkeypatch):
+        from mmhand_tpu.models.layers import UpConv
+        x = jnp.asarray(np.random.RandomState(1)
+                        .normal(size=(1, 6, 6, 4)), jnp.float32)
+        m = UpConv(3, dtype=jnp.float32)
+        vs = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(params, impl):
+            import os
+            os.environ["MMHAND_UPCONV_SHUFFLE"] = impl
+            return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+        g0 = jax.grad(lambda p: loss(p, "stack"))(vs["params"])
+        for impl in ("d2s", "conv4"):
+            gi = jax.grad(lambda p: loss(p, impl))(vs["params"])
+            for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(gi)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                           rtol=1e-4, atol=1e-4,
+                                           err_msg=impl)
