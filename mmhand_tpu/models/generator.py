@@ -44,6 +44,56 @@ from mmhand_tpu.models.layers import (
 Dtype = Any
 
 
+class _FusedBNCore(nn.Module):
+    """Param/variable twin of flax nn.BatchNorm (scale, bias, batch_stats
+    mean/var) whose batch statistics are supplied by the caller — so the
+    three stem BNs can share ONE fused stat reduction (stats are
+    per-channel, so slices of the fused tensor's stats equal the
+    per-stream stats exactly).  The normalize/update formulas replicate
+    flax BatchNorm (fast variance, f32 stats, momentum 0.9, eps 1e-5)."""
+
+    features: int
+    dtype: Dtype
+
+    def setup(self):
+        from mmhand_tpu.models.layers import norm_scale_init
+        self.scale = self.param("scale", norm_scale_init,
+                                (self.features,), jnp.float32)
+        self.offset = self.param("bias", nn.initializers.zeros,
+                                 (self.features,), jnp.float32)
+        self.ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,))
+        self.ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,))
+
+    def __call__(self, y, mean, var, train: bool):
+        if not train:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        elif not self.is_initializing():
+            self.ra_mean.value = 0.9 * self.ra_mean.value + 0.1 * mean
+            self.ra_var.value = 0.9 * self.ra_var.value + 0.1 * var
+        yn = (y - mean) * (jax.lax.rsqrt(var + 1e-5) * self.scale)
+        yn = yn + self.offset
+        return yn.astype(self.dtype)
+
+
+class _FusedNormShell(nn.Module):
+    """Scope twin of Norm(kind='batch') holding a _FusedBNCore under the
+    same child name as flax BatchNorm ('BatchNorm_0')."""
+
+    features: int
+    dtype: Dtype
+
+    def setup(self):
+        self.bn = _FusedBNCore(self.features, self.dtype,
+                               name="BatchNorm_0")
+
+    def __call__(self, y, mean, var, train: bool):
+        return self.bn(y, mean, var, train)
+
+
 class _StemBlock(nn.Module):
     """Param-tree twin of the stem ConvNormRelu for the fused-stems path.
 
@@ -51,25 +101,34 @@ class _StemBlock(nn.Module):
     converters are interchangeable with the unfused path, but exposes the
     conv params (`conv_params`) and the norm+relu tail (`finish`)
     separately: the parent computes all three stem convs as ONE
-    block-diagonal 7x7 conv (see Generator.__call__)."""
+    block-diagonal 7x7 conv (see Generator.__call__).  With
+    `fused_bn=True` the Norm_0 child is the stat-fed twin
+    (_FusedNormShell) and `finish` takes the shared fused statistics."""
 
     features: int
     kernel: int
     norm: NormConfig
     pad: int
     dtype: Dtype
+    fused_bn: bool = False
 
     def setup(self):
         self.conv = PadConv(self.features, self.kernel, pad=self.pad,
                             pad_mode="reflect", use_bias=self.norm.use_bias,
                             dtype=self.dtype, params_only=True,
                             name="PadConv_0")
-        self.norm_m = Norm(self.norm, dtype=self.dtype, name="Norm_0")
+        if self.fused_bn:
+            self.norm_m = _FusedNormShell(self.features, self.dtype,
+                                          name="Norm_0")
+        else:
+            self.norm_m = Norm(self.norm, dtype=self.dtype, name="Norm_0")
 
     def conv_params(self, x):
         return self.conv(x)
 
-    def finish(self, y, train: bool = True):
+    def finish(self, y, train: bool = True, mean=None, var=None):
+        if self.fused_bn:
+            return nn.relu(self.norm_m(y, mean, var, train))
         return nn.relu(self.norm_m(y, train))
 
 
@@ -213,17 +272,38 @@ class Generator(nn.Module):
                                  name=f"{name}_down{i}")(x, train)
             return x
 
-        if os.environ.get("MMHAND_G_STEM_FUSED", "0") == "1":
+        stem_mode = os.environ.get("MMHAND_G_STEM_FUSED", "0")
+        if stem_mode in ("1", "2"):
             # One block-diagonal conv for all three 7x7 stems (exact; see
             # _fused_stem_conv).  Param tree identical to the unfused path.
+            # Mode "2" additionally computes the three BNs' batch stats as
+            # ONE reduction over the fused 192-channel conv output (stats
+            # are per-channel: slices equal the per-stream stats exactly);
+            # its autodiff likewise fuses the backward stat reductions.
+            fused_bn = stem_mode == "2" and self.norm.kind == "batch"
             shells = [
                 _StemBlock(self.ngf, 7, self.norm, 3, self.dtype,
-                           name=f"stream{i}_in") for i in (1, 2, 3)]
+                           fused_bn=fused_bn, name=f"stream{i}_in")
+                for i in (1, 2, 3)]
             kbs = [sh.conv_params(x)
                    for sh, x in zip(shells, (x1, x2, x3))]
             ys = _fused_stem_conv((x1, x2, x3), kbs, pad=3)
-            x1, x2, x3 = (down(sh.finish(y, train), f"stream{i}")
-                          for i, (sh, y) in enumerate(zip(shells, ys), 1))
+            means = vars_ = (None, None, None)
+            if fused_bn and train:
+                yc = jnp.concatenate(ys, axis=-1).astype(jnp.float32)
+                mu = yc.mean((0, 1, 2))
+                mu2 = (yc * yc).mean((0, 1, 2))
+                if self.norm.axis_name and not self.is_initializing():
+                    mu, mu2 = jax.lax.pmean(
+                        jnp.stack([mu, mu2]), self.norm.axis_name)
+                var = jnp.maximum(0.0, mu2 - mu * mu)
+                n = self.ngf
+                means = [mu[i * n:(i + 1) * n] for i in range(3)]
+                vars_ = [var[i * n:(i + 1) * n] for i in range(3)]
+            x1, x2, x3 = (
+                down(sh.finish(y, train, mean=m, var=v), f"stream{i}")
+                for i, (sh, y, m, v)
+                in enumerate(zip(shells, ys, means, vars_), 1))
         else:
             def stem(x, name):
                 x = ConvNormRelu(self.ngf, 7, self.norm, pad=3,

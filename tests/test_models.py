@@ -267,3 +267,73 @@ class TestUpConvShuffleVariants:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                            rtol=1e-4, atol=1e-4,
                                            err_msg=impl)
+
+
+class TestFusedStemBN:
+    """MMHAND_G_STEM_FUSED=2: one fused BN stat reduction for the three
+    stems — same outputs, gradients, and running-stat updates as unfused."""
+
+    def _g(self):
+        return Generator(ngf=16, n_blocks=1, n_downsampling=2,
+                         norm=NormConfig(kind="batch"), use_dropout=False,
+                         dtype=jnp.float32)
+
+    def test_train_apply_matches_unfused(self, rngs, monkeypatch):
+        g = self._g()
+        inp = tuple(
+            jnp.asarray(np.random.RandomState(i).normal(size=(2, 64, 64, c)),
+                        jnp.float32) for i, c in enumerate((3, 42, 6)))
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
+        vs = g.init(rngs, inp, train=False)
+
+        def run(mode):
+            import os
+            os.environ["MMHAND_G_STEM_FUSED"] = mode
+            y, upd = g.apply(vs, inp, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": rngs["dropout"]})
+            return y, upd["batch_stats"]
+
+        y0, bs0 = run("0")
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "2")
+        vs2 = g.init(rngs, inp, train=False)
+        assert (jax.tree_util.tree_structure(vs2)
+                == jax.tree_util.tree_structure(vs))
+        y2, bs2 = run("2")
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
+                                   rtol=1e-4, atol=1e-4)
+        assert (jax.tree_util.tree_structure(bs0)
+                == jax.tree_util.tree_structure(bs2))
+        for a, c in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_eval_and_grads_match(self, rngs, monkeypatch):
+        g = self._g()
+        inp = tuple(
+            jnp.asarray(np.random.RandomState(i).normal(size=(1, 32, 32, c)),
+                        jnp.float32) for i, c in enumerate((3, 42, 6)))
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
+        vs = g.init(rngs, inp, train=False)
+
+        def loss(params, mode, train):
+            import os
+            os.environ["MMHAND_G_STEM_FUSED"] = mode
+            out = g.apply({"params": params,
+                           "batch_stats": vs["batch_stats"]},
+                          inp, train=train,
+                          **({"mutable": ["batch_stats"],
+                              "rngs": {"dropout": rngs["dropout"]}}
+                             if train else {}))
+            out = out[0] if train else out
+            return jnp.sum(out ** 2)
+
+        # eval-mode forward parity (running-average stats path)
+        np.testing.assert_allclose(
+            float(loss(vs["params"], "0", False)),
+            float(loss(vs["params"], "2", False)), rtol=1e-5)
+        # train-mode gradient parity (grads flow through the fused stats)
+        g0 = jax.grad(lambda p: loss(p, "0", True))(vs["params"])
+        g2 = jax.grad(lambda p: loss(p, "2", True))(vs["params"])
+        for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-3, atol=2e-3)

@@ -26,6 +26,7 @@ run fused     MMHAND_G_STEM_FUSED=1
 # isolates the D-side space-to-depth that the all-stems A/B (40.67) mixed
 # with the G-side loss.
 run fused_ds2d MMHAND_G_STEM_FUSED=1 MMHAND_STEM_IMPL=s2d
+run fusedbn   MMHAND_G_STEM_FUSED=2
 run up_d2s    MMHAND_UPCONV_SHUFFLE=d2s
 run up_conv4  MMHAND_UPCONV_SHUFFLE=conv4
 run pre_r3b   MMHAND_DSTEM_SPLIT=0 MMHAND_G_STEM_FUSED=0
