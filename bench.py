@@ -79,5 +79,39 @@ def main():
     }))
 
 
+def _wait_for_backend(attempts: int = 4, probe_timeout: int = 240) -> None:
+    """Bounded wait for the TPU backend.
+
+    A mid-outage axon plugin hangs indefinitely inside backend init (no
+    exception), which would wedge the whole bench process.  Probe from a
+    SUBPROCESS (killable even when the hang is inside a C extension); only
+    after a probe succeeds does this process touch the backend.  Exits 3
+    with a diagnostic if the backend stays unreachable.
+    """
+    import os
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("MMHAND_BENCH_PROBES", attempts))
+    probe_timeout = int(os.environ.get("MMHAND_BENCH_PROBE_TIMEOUT",
+                                       probe_timeout))
+    code = "import jax; d = jax.devices(); print(d[0].platform)"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode()[-300:]
+        except subprocess.TimeoutExpired:
+            err = f"backend init hung >{probe_timeout}s"
+        print(f"bench: backend probe {i + 1}/{attempts} failed: {err}",
+              file=sys.stderr)
+    print(json.dumps({"error": "TPU backend unreachable",
+                      "metric": "gan_train_images_per_sec_per_chip_256px"}))
+    raise SystemExit(3)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
