@@ -290,9 +290,13 @@ class Generator(nn.Module):
             ys = _fused_stem_conv((x1, x2, x3), kbs, pad=3)
             means = vars_ = (None, None, None)
             if fused_bn and train:
-                yc = jnp.concatenate(ys, axis=-1).astype(jnp.float32)
-                mu = yc.mean((0, 1, 2))
-                mu2 = (yc * yc).mean((0, 1, 2))
+                if os.environ.get("MMHAND_BN_STATS", "reduce") == "dot":
+                    from mmhand_tpu.ops.bn_stats import bn_moments
+                    mu, mu2 = bn_moments(jnp.concatenate(ys, axis=-1))
+                else:
+                    yc = jnp.concatenate(ys, axis=-1).astype(jnp.float32)
+                    mu = yc.mean((0, 1, 2))
+                    mu2 = (yc * yc).mean((0, 1, 2))
                 if self.norm.axis_name and not self.is_initializing():
                     mu, mu2 = jax.lax.pmean(
                         jnp.stack([mu, mu2]), self.norm.axis_name)

@@ -114,6 +114,50 @@ class NormConfig:
         return self.kind == "instance"
 
 
+class _DotStatsBN(nn.Module):
+    """Param/variable twin of flax nn.BatchNorm whose batch statistics are
+    computed by ops.bn_stats.bn_moments (MXU dots) instead of reduce ops —
+    same tree (scale, bias, batch_stats mean/var under 'BatchNorm_0'-style
+    naming), same fast-variance f32 formula, momentum 0.9, eps 1e-5, and
+    the same axis_name pmean-of-moments sync-BN.  Routed by Norm when
+    MMHAND_BN_STATS=dot for large-spatial sites (see ops/bn_stats.py for
+    the profile evidence)."""
+
+    features: int
+    dtype: Dtype
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        self.scale = self.param("scale", norm_scale_init,
+                                (self.features,), jnp.float32)
+        self.offset = self.param("bias", nn.initializers.zeros,
+                                 (self.features,), jnp.float32)
+        self.ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,))
+        self.ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,))
+
+    def __call__(self, x, train: bool = True):
+        if not train:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        else:
+            from mmhand_tpu.ops.bn_stats import bn_moments
+            mu, mu2 = bn_moments(x)
+            if self.axis_name and not self.is_initializing():
+                mu, mu2 = jax.lax.pmean(
+                    jnp.stack([mu, mu2]), self.axis_name)
+            mean = mu
+            var = jnp.maximum(0.0, mu2 - mu * mu)
+            if not self.is_initializing():
+                self.ra_mean.value = 0.9 * self.ra_mean.value + 0.1 * mean
+                self.ra_var.value = 0.9 * self.ra_var.value + 0.1 * var
+        y = (x - mean) * (jax.lax.rsqrt(var + 1e-5) * self.scale)
+        y = y + self.offset
+        return y.astype(self.dtype)
+
+
 class Norm(nn.Module):
     """Norm layer chosen by NormConfig; torch-parity constants
     (BatchNorm2d: eps 1e-5, momentum 0.1 -> flax momentum 0.9)."""
@@ -124,6 +168,20 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.cfg.kind == "batch":
+            import os
+            # Dot-product batch statistics for full-res BN sites (~24 ms of
+            # pathological reduce fusions at the r3 profile; bn_stats.py).
+            # Shape-gated: the Gram's N*C^2 MACs only pay for themselves on
+            # the big-spatial stem-resolution sites.  Same param/variable
+            # tree either way (checkpoint-compatible).
+            min_spatial = int(os.environ.get("MMHAND_BN_STATS_MIN",
+                                             1 << 18))
+            if (os.environ.get("MMHAND_BN_STATS", "reduce") == "dot"
+                    and x.ndim == 4
+                    and x.shape[0] * x.shape[1] * x.shape[2] >= min_spatial):
+                return _DotStatsBN(x.shape[-1], self.dtype,
+                                   axis_name=self.cfg.axis_name,
+                                   name="BatchNorm_0")(x, train)
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,

@@ -27,6 +27,12 @@ run fused     MMHAND_G_STEM_FUSED=1
 # with the G-side loss.
 run fused_ds2d MMHAND_G_STEM_FUSED=1 MMHAND_STEM_IMPL=s2d
 run fusedbn   MMHAND_G_STEM_FUSED=2
+# Dot-product BN statistics (ops/bn_stats.py): attacks the ~24 ms of
+# pathological full-res convert_reduce_fusion stat reductions directly —
+# composes with (and is a superset of what) fusedbn fixes on the G side,
+# and also covers the D stems.
+run bnstats   MMHAND_BN_STATS=dot
+run fusedbn_dot MMHAND_G_STEM_FUSED=2 MMHAND_BN_STATS=dot
 run up_d2s    MMHAND_UPCONV_SHUFFLE=d2s
 run up_conv4  MMHAND_UPCONV_SHUFFLE=conv4
 run pre_r3b   MMHAND_DSTEM_SPLIT=0 MMHAND_G_STEM_FUSED=0
