@@ -46,6 +46,74 @@ class ModelConfig:
     # trades a little recompute for activation HBM (enables larger batches)
     g_remat: bool = False
 
+    # ------------------------------------------------------------------
+    # TPU implementation knobs (no reference analog — the reference has a
+    # single CUDA lowering).  Defaults are the measured full-step winners
+    # (BASELINE.md A/B tables); the non-default values are kept for
+    # profiling A/Bs via the MMHAND_* env overrides (with_env_overrides,
+    # applied once at MMHandSystem build — never read inside traced code).
+    # ------------------------------------------------------------------
+    # 3x3 reflect-conv lowering: 'padadd' (zero-pad conv + lax.pad border
+    # corrections, 44.71 img/s) | 'border' (DUS corrections, 44.29) |
+    # 'concat' (slice+concat pad, 42.74) | 'dusonly' (profiling, WRONG math)
+    reflect_impl: str = "padadd"
+    # out_conv 7x7 head: 'd2s' (depth-to-space fattened output tile, 44.99)
+    # | 'direct' (44.29)
+    head_impl: str = "d2s"
+    # 7x7 stems: 'direct' (default) | 's2d' (space-to-depth, measured loser
+    # 40.67 — the (B,262,262,C) relayout outweighs the MXU win)
+    stem_impl: str = "direct"
+    # stride-2 downsamples: 'direct' | 's2d' (measured loser, 37.91)
+    down_impl: str = "direct"
+    # ConvTranspose pixel-shuffle interleave: 'stack' | 'd2s' (44.33 at
+    # the r4 control point, where 'stack'=44.23) | 'conv4' (44.67 at the
+    # same point; its interaction with dstem_split=False is a separate
+    # r4 leg — see BASELINE.md for the adopted number)
+    upconv_shuffle: str = "stack"
+    # BatchNorm batch statistics: 'reduce' (flax; 44.23 control) | 'dot'
+    # (MXU dots, ops/bn_stats.py; measured LOSER 43.34 — r4 A/B); 'dot'
+    # applies only to sites with batch*H*W >= bn_stats_min (the Gram's
+    # N*C^2 MACs need big spatial)
+    bn_stats: str = "reduce"
+    bn_stats_min: int = 1 << 18
+    # D-stem computed as two channel-block convs so the conditioning
+    # channels' input-grad conv dead-codes inside the G loss (bit-exact).
+    # Measured full-step LOSER: split ON 44.23 vs OFF 45.38 img/s (r4 A/B
+    # — the dead-code win is outweighed by the two half-width stem convs'
+    # worse MXU tiling), so the default is OFF.
+    dstem_split: bool = False
+    # G stems: 0 per-stream 7x7 convs (44.23 control) | 1 one
+    # block-diagonal conv (measured LOSER 42.98) | 2 additionally one
+    # fused BN stat reduction (42.86) — r4 A/B, BASELINE.md
+    g_stem_fused: int = 0
+
+    def with_env_overrides(self) -> "ModelConfig":
+        """Apply MMHAND_* env overrides to the implementation knobs.
+
+        Profiling-only escape hatch (tools/stem_ab.sh legs, bench A/Bs):
+        called once at MMHandSystem construction, so traced model code
+        never reads the environment.  Production configuration is the
+        dataclass fields themselves.
+        """
+        import os
+        coerce = {"dstem_split": lambda s: s != "0",
+                  "g_stem_fused": int, "bn_stats_min": int}
+        kw = {}
+        for env, field_name in [
+                ("MMHAND_REFLECT_IMPL", "reflect_impl"),
+                ("MMHAND_HEAD_IMPL", "head_impl"),
+                ("MMHAND_STEM_IMPL", "stem_impl"),
+                ("MMHAND_DOWN_IMPL", "down_impl"),
+                ("MMHAND_UPCONV_SHUFFLE", "upconv_shuffle"),
+                ("MMHAND_BN_STATS", "bn_stats"),
+                ("MMHAND_BN_STATS_MIN", "bn_stats_min"),
+                ("MMHAND_DSTEM_SPLIT", "dstem_split"),
+                ("MMHAND_G_STEM_FUSED", "g_stem_fused")]:
+            val = os.environ.get(env)
+            if val is not None:
+                kw[field_name] = coerce.get(field_name, str)(val)
+        return dataclasses.replace(self, **kw) if kw else self
+
     @property
     def g_input_nc(self) -> tuple[int, int, int]:
         """Stream channel widths [image, 2x pose heatmaps, 2x depth-rgb]
@@ -147,10 +215,17 @@ class MeshConfig:
 class PrecisionConfig:
     """Mixed precision.  Replaces APEX amp O0-O3 + loss-scaling overflow vote
     (reference models/MMHandModel.py:99-116,294-308): bf16 needs no loss
-    scaling, so the vote machinery has no TPU equivalent."""
+    scaling (f32 exponent range), so the vote machinery is OFF by default.
+    For fp16 parity experiments, `compute_dtype='float16'` +
+    `loss_scaling=True` enables the TPU-native counterpart — three dynamic
+    per-loss scalers with a cross-replica overflow vote and sticky
+    within-step update skipping (train/precision.py)."""
 
     compute_dtype: str = "bfloat16"   # matmul/conv compute dtype
     param_dtype: str = "float32"      # parameter + optimizer-state dtype
+    # dynamic per-loss scaling + overflow vote (reference :294-308 /
+    # amp num_losses=3 :99-108); exact no-op when no overflow occurs
+    loss_scaling: bool = False
 
 
 @dataclass(frozen=True)

@@ -103,7 +103,8 @@ class Evaluator:
 
     def __init__(self, inception_vars: Optional[Any] = None,
                  judge: Optional[HPEJudge] = None,
-                 compute_fid: bool = True):
+                 compute_fid: bool = True,
+                 ssim_quirk: bool = False):
         self.inception = Inception3()
         self.random_inception = inception_vars is None
         if inception_vars is None:
@@ -117,6 +118,7 @@ class Evaluator:
         self.inc_vars = inception_vars
         self.judge = judge
         self.compute_fid = compute_fid
+        self.ssim_quirk = ssim_quirk
         self._logits_fake: list = []
         self._pool_fake: list = []
         self._pool_real: list = []
@@ -169,11 +171,17 @@ class Evaluator:
             _, pool_r = self._inception_fwd(self.inc_vars, gt_images)
             self._pool_real.append(np.asarray(pool_r))
 
-        # per-sample SSIM on [0,1]-mapped images.  (The reference compares
-        # pred in [-1,1] against gt/255 — a range-mismatch quirk
-        # (utils.py:100-111) NOT reproduced; both sides map to [0,1] here.)
-        s = ssim((pred_images + 1) / 2, (gt_images + 1) / 2,
-                 size_average=False)
+        # per-sample SSIM on [0,1]-mapped images by default.  The reference
+        # compares pred in [-1,1] against gt/255 in [0,1] — a range-mismatch
+        # quirk (reference baselines/quantitative_on_benchmarks/
+        # utils.py:100-111).  ssim_quirk=True reproduces it verbatim so
+        # numbers can be A/B'd 1:1 against runs of the reference harness;
+        # the corrected default maps both sides to [0,1].
+        if self.ssim_quirk:
+            s = ssim(pred_images, (gt_images + 1) / 2, size_average=False)
+        else:
+            s = ssim((pred_images + 1) / 2, (gt_images + 1) / 2,
+                     size_average=False)
         self._ssim.extend(np.asarray(s).tolist())
 
         if self.judge is not None and gt_xyz is not None:

@@ -21,7 +21,14 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mmhand_tpu.models.layers import ConvNormRelu, Norm, NormConfig, PadConv
+from mmhand_tpu.models.layers import (
+    DEFAULT_IMPL,
+    ConvNormRelu,
+    Norm,
+    NormConfig,
+    OpImpl,
+    PadConv,
+)
 
 Dtype = Any
 
@@ -35,16 +42,19 @@ class ResnetBlock(nn.Module):
     use_dropout: bool
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         h = ConvNormRelu(self.dim, 3, self.norm, pad=1,
-                         pad_mode=self.pad_mode, dtype=self.dtype)(x, train)
+                         pad_mode=self.pad_mode, dtype=self.dtype,
+                         impl=self.impl)(x, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = PadConv(self.dim, 3, pad=1, pad_mode=self.pad_mode,
-                    use_bias=self.norm.use_bias, dtype=self.dtype)(h)
-        h = Norm(self.norm, dtype=self.dtype)(h, train)
+                    use_bias=self.norm.use_bias, dtype=self.dtype,
+                    impl=self.impl)(h)
+        h = Norm(self.norm, dtype=self.dtype, impl=self.impl)(h, train)
         return x + h
 
 
@@ -65,20 +75,22 @@ class Discriminator(nn.Module):
     # channels (the generated image) carry gradient — the conditioning
     # channels' MXU-starved input-gradient conv then dead-codes away.
     stem_grad_split: int = 0
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         x = ConvNormRelu(self.ndf, 7, self.norm, pad=3, pad_mode="reflect",
                          dtype=self.dtype, name="in_conv",
-                         conv_grad_split=self.stem_grad_split)(x, train)
+                         conv_grad_split=self.stem_grad_split,
+                         impl=self.impl)(x, train)
 
         if self.n_downsampling <= 2:
             for i in range(self.n_downsampling):
                 mult = 2 ** i
                 x = ConvNormRelu(self.ndf * mult * 2, 3, self.norm, stride=2,
                                  pad=1, zero_pad_in_conv=True,
-                                 dtype=self.dtype,
+                                 dtype=self.dtype, impl=self.impl,
                                  name=f"down{i}")(x, train)
             mult = 2 ** self.n_downsampling
         elif self.n_downsampling == 3:
@@ -88,6 +100,7 @@ class Discriminator(nn.Module):
                     [self.ndf * 2, self.ndf * 4, self.ndf * 4]):
                 x = ConvNormRelu(feats, 3, self.norm, stride=2, pad=1,
                                  zero_pad_in_conv=True, dtype=self.dtype,
+                                 impl=self.impl,
                                  name=f"down{i}")(x, train)
             mult = 4
         else:
@@ -96,7 +109,7 @@ class Discriminator(nn.Module):
 
         for i in range(self.n_blocks):
             x = ResnetBlock(self.ndf * mult, self.norm, self.use_dropout,
-                            self.pad_mode, dtype=self.dtype,
+                            self.pad_mode, dtype=self.dtype, impl=self.impl,
                             name=f"res{i}")(x, train)
 
         x = x.astype(jnp.float32)

@@ -24,7 +24,6 @@ Deliberately-preserved reference quirk: PATBlock returns
 
 from __future__ import annotations
 
-import os
 from typing import Any, Sequence
 
 import jax
@@ -32,9 +31,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mmhand_tpu.models.layers import (
+    DEFAULT_IMPL,
     ConvNormRelu,
     Norm,
     NormConfig,
+    OpImpl,
     PadConv,
     UpConv,
     checkpoint_name,
@@ -111,6 +112,7 @@ class _StemBlock(nn.Module):
     pad: int
     dtype: Dtype
     fused_bn: bool = False
+    impl: OpImpl = DEFAULT_IMPL
 
     def setup(self):
         self.conv = PadConv(self.features, self.kernel, pad=self.pad,
@@ -121,7 +123,8 @@ class _StemBlock(nn.Module):
             self.norm_m = _FusedNormShell(self.features, self.dtype,
                                           name="Norm_0")
         else:
-            self.norm_m = Norm(self.norm, dtype=self.dtype, name="Norm_0")
+            self.norm_m = Norm(self.norm, dtype=self.dtype, impl=self.impl,
+                               name="Norm_0")
 
     def conv_params(self, x):
         return self.conv(x)
@@ -182,18 +185,21 @@ class _AttConvBlock(nn.Module):
     use_dropout: bool
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         width = self.dim * 2 if (self.cated and self.cal_att) else self.dim
         x = ConvNormRelu(width, 3, self.norm, stride=1, pad=1,
-                         pad_mode=self.pad_mode, dtype=self.dtype)(x, train)
+                         pad_mode=self.pad_mode, dtype=self.dtype,
+                         impl=self.impl)(x, train)
         if self.use_dropout:
             x = nn.Dropout(0.5, deterministic=not train)(x)
         x = PadConv(self.dim, 3, 1, pad=1, pad_mode=self.pad_mode,
-                    use_bias=self.norm.use_bias, dtype=self.dtype)(x)
+                    use_bias=self.norm.use_bias, dtype=self.dtype,
+                    impl=self.impl)(x)
         if not self.cal_att:
-            x = Norm(self.norm, dtype=self.dtype)(x, train)
+            x = Norm(self.norm, dtype=self.dtype, impl=self.impl)(x, train)
         return x
 
 
@@ -206,23 +212,24 @@ class PATBlock(nn.Module):
     use_dropout: bool
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x1, x2, x3, train: bool = True):
         x1_out = _AttConvBlock(self.dim, cated=False, cal_att=False,
                                norm=self.norm, use_dropout=self.use_dropout,
                                pad_mode=self.pad_mode, dtype=self.dtype,
-                               name="stream1")(x1, train)
+                               impl=self.impl, name="stream1")(x1, train)
         x2_out = _AttConvBlock(self.dim, cated=self.cated_stream2,
                                cal_att=True, norm=self.norm,
                                use_dropout=self.use_dropout,
                                pad_mode=self.pad_mode, dtype=self.dtype,
-                               name="stream2")(x2, train)
+                               impl=self.impl, name="stream2")(x2, train)
         x3_out = _AttConvBlock(self.dim, cated=self.cated_stream2,
                                cal_att=True, norm=self.norm,
                                use_dropout=self.use_dropout,
                                pad_mode=self.pad_mode, dtype=self.dtype,
-                               name="stream3")(x3, train)
+                               impl=self.impl, name="stream3")(x3, train)
 
         att_pose = nn.sigmoid(x2_out)
         att_depth = nn.sigmoid(x3_out)
@@ -254,6 +261,8 @@ class Generator(nn.Module):
     pad_mode: str = "reflect"
     dtype: Dtype = jnp.bfloat16
     remat: bool = False  # save conv outputs, recompute elementwise tails
+    impl: OpImpl = DEFAULT_IMPL
+    stem_fused: int = 0  # ModelConfig.g_stem_fused: 0 | 1 | 2
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
@@ -268,29 +277,29 @@ class Generator(nn.Module):
                 mult = 2 ** i
                 x = ConvNormRelu(self.ngf * mult * 2, 3, self.norm, stride=2,
                                  pad=1, zero_pad_in_conv=True,
-                                 dtype=self.dtype,
+                                 dtype=self.dtype, impl=self.impl,
                                  name=f"{name}_down{i}")(x, train)
             return x
 
-        stem_mode = os.environ.get("MMHAND_G_STEM_FUSED", "0")
-        if stem_mode in ("1", "2"):
+        if self.stem_fused in (1, 2):
             # One block-diagonal conv for all three 7x7 stems (exact; see
             # _fused_stem_conv).  Param tree identical to the unfused path.
             # Mode "2" additionally computes the three BNs' batch stats as
             # ONE reduction over the fused 192-channel conv output (stats
             # are per-channel: slices equal the per-stream stats exactly);
             # its autodiff likewise fuses the backward stat reductions.
-            fused_bn = stem_mode == "2" and self.norm.kind == "batch"
+            fused_bn = self.stem_fused == 2 and self.norm.kind == "batch"
             shells = [
                 _StemBlock(self.ngf, 7, self.norm, 3, self.dtype,
-                           fused_bn=fused_bn, name=f"stream{i}_in")
+                           fused_bn=fused_bn, impl=self.impl,
+                           name=f"stream{i}_in")
                 for i in (1, 2, 3)]
             kbs = [sh.conv_params(x)
                    for sh, x in zip(shells, (x1, x2, x3))]
             ys = _fused_stem_conv((x1, x2, x3), kbs, pad=3)
             means = vars_ = (None, None, None)
             if fused_bn and train:
-                if os.environ.get("MMHAND_BN_STATS", "reduce") == "dot":
+                if self.impl.bn_stats == "dot":
                     from mmhand_tpu.ops.bn_stats import bn_moments
                     mu, mu2 = bn_moments(jnp.concatenate(ys, axis=-1))
                 else:
@@ -312,6 +321,7 @@ class Generator(nn.Module):
             def stem(x, name):
                 x = ConvNormRelu(self.ngf, 7, self.norm, pad=3,
                                  pad_mode="reflect", dtype=self.dtype,
+                                 impl=self.impl,
                                  name=f"{name}_in")(x, train)
                 return down(x, name)
 
@@ -337,18 +347,21 @@ class Generator(nn.Module):
                                    norm=self.norm,
                                    use_dropout=self.use_dropout,
                                    pad_mode=self.pad_mode, dtype=self.dtype,
+                                   impl=self.impl,
                                    name=f"att{i}")(x1, x2, x3, train)
 
         # --- upsample image stream (reference :240-259)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             x1 = UpConv(self.ngf * mult // 2, use_bias=self.norm.use_bias,
-                        dtype=self.dtype, name=f"up{i}")(x1)
-            x1 = Norm(self.norm, dtype=self.dtype, name=f"up{i}_norm")(
-                x1, train)
+                        dtype=self.dtype, impl=self.impl,
+                        name=f"up{i}")(x1)
+            x1 = Norm(self.norm, dtype=self.dtype, impl=self.impl,
+                      name=f"up{i}_norm")(x1, train)
             x1 = nn.relu(x1)
 
         # final conv has default bias=True (reference :257 has no bias kwarg)
         x1 = PadConv(self.output_nc, 7, pad=3, pad_mode="reflect",
-                     use_bias=True, dtype=self.dtype, name="out_conv")(x1)
+                     use_bias=True, dtype=self.dtype, impl=self.impl,
+                     name="out_conv")(x1)
         return jnp.tanh(x1).astype(jnp.float32)

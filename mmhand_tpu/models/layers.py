@@ -27,6 +27,39 @@ from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
+
+@dataclasses.dataclass(frozen=True)
+class OpImpl:
+    """TPU lowering selection for the conv/norm primitives.
+
+    Field meanings, valid values and the measured full-step A/Bs behind
+    the defaults are documented on the matching ModelConfig fields
+    (config.py) — the two MUST stay in sync (asserted in
+    tests/test_models.py).  Instances flow from ModelConfig through
+    MMHandSystem into the module tree; modules built outside the flagship
+    system (CPM, baselines, hand3d) use DEFAULT_IMPL.  Never read env
+    vars here: profiling overrides happen once at system build
+    (ModelConfig.with_env_overrides).
+    """
+
+    reflect: str = "padadd"
+    head: str = "d2s"
+    stem: str = "direct"
+    down: str = "direct"
+    upconv_shuffle: str = "stack"
+    bn_stats: str = "reduce"
+    bn_stats_min: int = 1 << 18
+
+    @classmethod
+    def from_model_config(cls, m) -> "OpImpl":
+        return cls(reflect=m.reflect_impl, head=m.head_impl,
+                   stem=m.stem_impl, down=m.down_impl,
+                   upconv_shuffle=m.upconv_shuffle, bn_stats=m.bn_stats,
+                   bn_stats_min=m.bn_stats_min)
+
+
+DEFAULT_IMPL = OpImpl()
+
 # N(0, 0.02) kernel init (reference network_utils.py:12-20 weights_init_normal)
 conv_init = nn.initializers.normal(stddev=0.02)
 # N(1, 0.02) norm scale init (reference network_utils.py:18-19)
@@ -164,21 +197,20 @@ class Norm(nn.Module):
 
     cfg: NormConfig
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.cfg.kind == "batch":
-            import os
             # Dot-product batch statistics for full-res BN sites (~24 ms of
             # pathological reduce fusions at the r3 profile; bn_stats.py).
             # Shape-gated: the Gram's N*C^2 MACs only pay for themselves on
             # the big-spatial stem-resolution sites.  Same param/variable
             # tree either way (checkpoint-compatible).
-            min_spatial = int(os.environ.get("MMHAND_BN_STATS_MIN",
-                                             1 << 18))
-            if (os.environ.get("MMHAND_BN_STATS", "reduce") == "dot"
+            if (self.impl.bn_stats == "dot"
                     and x.ndim == 4
-                    and x.shape[0] * x.shape[1] * x.shape[2] >= min_spatial):
+                    and x.shape[0] * x.shape[1] * x.shape[2]
+                    >= self.impl.bn_stats_min):
                 return _DotStatsBN(x.shape[-1], self.dtype,
                                    axis_name=self.cfg.axis_name,
                                    name="BatchNorm_0")(x, train)
@@ -261,6 +293,7 @@ class PadConv(nn.Module):
     # lets XLA dead-code the conditioning channels' input-gradient conv
     # (9.07 + 4.64 ms/step of MXU-starved 7x7 bwd at r3 profile).
     grad_split: int = 0
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x):
@@ -298,10 +331,9 @@ class PadConv(nn.Module):
         #  'concat' — slice+concat padded input, VALID conv everywhere.
         # The 7x7 border decomposition (24 corrections x 7 taps) measured
         # much worse (44.2 -> 32.8 img/s) and is never used.
-        import os
         # Full-step A/B (r3, img/s): padadd 44.71 / 45.39 with the d2s
         # head; DUS border-correction ("border") 44.29.  padadd default.
-        impl = os.environ.get("MMHAND_REFLECT_IMPL", "padadd")
+        impl = self.impl.reflect
         if (impl in ("border", "dusonly", "padadd") and self.kernel == 3
                 and self.pad == 1 and self.stride == 1
                 and self.pad_mode == "reflect"):
@@ -330,13 +362,20 @@ class PadConv(nn.Module):
             hp, wp = xd.shape[1], xd.shape[2]
             ho, wo = hp - self.kernel + 1, wp - self.kernel + 1
             div2 = all(v % 2 == 0 for v in (hp, wp, ho, wo))
+            # Spatial floor: below 128px output the fattened conv (10x10
+            # kernel, stride 4 on a ~70px input) sends the XLA:TPU remote
+            # compiler into a multi-minute tiling search (observed hang at
+            # fineSize=64, r4) — a cousin of the small-spatial conv
+            # SIGABRT in ops/reflect_conv.py.  The d2s win was only ever
+            # measured at 256px; small sizes take the direct path.
             if (div2 and self.features <= 16 and in_features >= 32
-                    and os.environ.get("MMHAND_HEAD_IMPL", "d2s") == "d2s"):
+                    and min(ho, wo) >= 128
+                    and self.impl.head == "d2s"):
                 f = 4 if ho % 4 == 0 and wo % 4 == 0 else 2
                 return checkpoint_name(
                     s2d_conv.conv_d2s_out(xd, kd, bd, f=f), "conv_out")
             if (div2 and in_features <= 48 and self.features >= 32
-                    and os.environ.get("MMHAND_STEM_IMPL", "direct") == "s2d"):
+                    and self.impl.stem == "s2d"):
                 return checkpoint_name(
                     s2d_conv.conv_s2d(xd, kd, bd, f=2), "conv_out")
 
@@ -358,12 +397,12 @@ class StridedConv(nn.Module):
     padding: int = 1
     use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x):
         p = self.padding
-        import os
-        if (os.environ.get("MMHAND_DOWN_IMPL", "direct") == "s2d"
+        if (self.impl.down == "s2d"
                 and self.stride > 1
                 and (x.shape[1] + 2 * p) % self.stride == 0
                 and (x.shape[2] + 2 * p) % self.stride == 0):
@@ -434,6 +473,7 @@ class UpConv(nn.Module):
     padding: int = 1
     output_padding: int = 1
     dtype: Dtype = jnp.bfloat16
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x):
@@ -445,7 +485,7 @@ class UpConv(nn.Module):
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         if (k, s, p, op) == (3, 2, 1, 1):
-            y = _upconv3_pixel_shuffle(xd, kd)
+            y = _upconv3_pixel_shuffle(xd, kd, self.impl.upconv_shuffle)
         else:
             pad = (k - 1 - p, k - 1 - p + op)
             y = jax.lax.conv_general_dilated(
@@ -462,7 +502,7 @@ class UpConv(nn.Module):
         return y
 
 
-def _upconv3_pixel_shuffle(x, w):
+def _upconv3_pixel_shuffle(x, w, impl: str = "stack"):
     """ConvTranspose2d(k3 s2 p1 op1) via output-parity decomposition.
 
     The lhs-dilated formulation computes a 3x3 conv at OUTPUT resolution
@@ -493,8 +533,6 @@ def _upconv3_pixel_shuffle(x, w):
     # channel-concatenated parity planes ("d2s"), or compute all four
     # parity planes with ONE 2x2 conv over an end-padded input ("conv4",
     # 16/9 the MACs but one dispatch + no plane concat).  All exact.
-    import os
-    impl = os.environ.get("MMHAND_UPCONV_SHUFFLE", "stack")
     if impl == "conv4":
         # K4[(u,v), :, (a,b,co)]: y[2i+a, 2j+b] = sum_uv xpad[i+u, j+v] K
         # with K derived from the parity decomposition below.
@@ -540,17 +578,19 @@ class ConvNormRelu(nn.Module):
     zero_pad_in_conv: bool = False  # torch-style conv padding instead of pre-pad
     dtype: Dtype = jnp.bfloat16
     conv_grad_split: int = 0  # see PadConv.grad_split
+    impl: OpImpl = DEFAULT_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.zero_pad_in_conv:
             x = StridedConv(self.features, self.kernel, self.stride,
                             padding=self.pad, use_bias=self.norm.use_bias,
-                            dtype=self.dtype)(x)
+                            dtype=self.dtype, impl=self.impl)(x)
         else:
             x = PadConv(self.features, self.kernel, self.stride, self.pad,
                         self.pad_mode, use_bias=self.norm.use_bias,
                         dtype=self.dtype,
-                        grad_split=self.conv_grad_split)(x)
-        x = Norm(self.norm, dtype=self.dtype)(x, train)
+                        grad_split=self.conv_grad_split,
+                        impl=self.impl)(x)
+        x = Norm(self.norm, dtype=self.dtype, impl=self.impl)(x, train)
         return nn.relu(x)

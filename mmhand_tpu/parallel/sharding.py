@@ -77,7 +77,14 @@ def make_sharded_train_step(system: MMHandSystem, l1_loss, mesh: Mesh):
         out_specs=(specs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)  # noqa: E501  (jax.shard_map new-style API)
+    # Donate the state buffer (matches the single-device path,
+    # train/loop.py): without donation a v5e-8 holds TWO copies of
+    # params + 3x Adam state + the per-device pool stacks across the
+    # step boundary — pool stacks alone are 2 pools x 2 stacks x
+    # n_dev x [50,256,256,{24,6}] bf16 (~3.4 GB/dev at batch-16
+    # shapes), which is exactly the headroom that already OOMs
+    # batch 32 single-chip (BASELINE.md).
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

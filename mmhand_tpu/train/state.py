@@ -21,7 +21,7 @@ from mmhand_tpu.config import Config
 from mmhand_tpu.losses.perceptual import L1PlusPerceptual
 from mmhand_tpu.models.discriminator import Discriminator
 from mmhand_tpu.models.generator import Generator
-from mmhand_tpu.models.layers import NormConfig
+from mmhand_tpu.models.layers import NormConfig, OpImpl
 from mmhand_tpu.train.pool import PoolState, pool_init
 
 
@@ -41,6 +41,9 @@ class MMHandTrainState(struct.PyTreeNode):
     pool_pb: PoolState
     pool_pp: PoolState
     rng: jnp.ndarray
+    # {'g','d_pp','d_pb'} -> LossScaleState when PrecisionConfig.loss_scaling
+    # (train/precision.py); None (an empty pytree) otherwise.
+    scales: Any = None
 
 
 def make_optimizer(beta1: float, beta2: float):
@@ -66,30 +69,33 @@ class MMHandSystem:
     axis_name: Optional[str] = None
 
     def __post_init__(self):
-        m = self.config.model
+        # MMHAND_* env overrides of the implementation knobs apply HERE,
+        # once, at system build (profiling escape hatch — tools/stem_ab.sh
+        # legs); traced model code reads only the dataclass fields.
+        m = self.config.model.with_env_overrides()
+        impl = OpImpl.from_model_config(m)
         norm = NormConfig(kind=m.norm, axis_name=self.axis_name)
-        dtype = jnp.bfloat16 if (
-            self.config.precision.compute_dtype == "bfloat16") else jnp.float32
+        dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}.get(
+            self.config.precision.compute_dtype, jnp.float32)
         object.__setattr__(self, "generator", Generator(
             input_nc=m.g_input_nc, output_nc=m.output_nc, ngf=m.ngf,
             n_blocks=m.g_n_blocks, n_downsampling=m.g_n_downsampling,
             norm=norm, use_dropout=m.use_dropout_g,
-            pad_mode=m.padding_type, dtype=dtype, remat=m.g_remat))
+            pad_mode=m.padding_type, dtype=dtype, remat=m.g_remat,
+            impl=impl, stem_fused=m.g_stem_fused))
         disc = lambda **kw: Discriminator(
             ndf=m.ndf, n_blocks=m.n_layers_d,
             n_downsampling=m.d_n_downsampling, norm=norm,
             use_dropout=m.use_dropout_d, pad_mode=m.padding_type, dtype=dtype,
-            **kw)
+            impl=impl, **kw)
         object.__setattr__(self, "d_pb", disc())
         object.__setattr__(self, "d_pp", disc())
         # Same parameter tree, stem computed as two channel-block convs
         # split at the generated-image boundary (bit-equivalent); used for
         # the G-loss applies only, where the conditioning channels carry no
         # gradient — their MXU-starved 7x7 input-grad conv dead-codes away
-        # (r3 profile: 9.07 + 4.64 ms/step).  MMHAND_DSTEM_SPLIT=0 disables.
-        import os
-        split = (m.output_nc
-                 if os.environ.get("MMHAND_DSTEM_SPLIT", "1") != "0" else 0)
+        # (r3 profile: 9.07 + 4.64 ms/step).  ModelConfig.dstem_split.
+        split = m.output_nc if m.dstem_split else 0
         object.__setattr__(self, "d_pb_gsplit", disc(stem_grad_split=split))
         object.__setattr__(self, "d_pp_gsplit", disc(stem_grad_split=split))
         object.__setattr__(self, "tx", make_optimizer(
@@ -146,9 +152,13 @@ class MMHandSystem:
         # pool buffers in compute dtype: the replayed fakes feed straight
         # into the (bf16) D forward, so storing f32 only costs HBM — 433 MB
         # vs 216 MB at 256px/pool50, the round-1 batch>16 scaling wall
-        pool_dtype = jnp.bfloat16 if (
-            self.config.precision.compute_dtype == "bfloat16"
-        ) else jnp.float32
+        pool_dtype = {"bfloat16": jnp.bfloat16,
+                      "float16": jnp.float16}.get(
+            self.config.precision.compute_dtype, jnp.float32)
+        scales = None
+        if self.config.precision.loss_scaling:
+            from mmhand_tpu.train.precision import init_scales
+            scales = init_scales()
         return MMHandTrainState(
             step=jnp.zeros((), jnp.int32),
             g=g, d_pb=d_pb, d_pp=d_pp,
@@ -160,4 +170,5 @@ class MMHandSystem:
             pool_pp=pool_init(pool, (size, size, m.d_pp_input_nc),
                               dtype=pool_dtype),
             rng=k_state,
+            scales=scales,
         )

@@ -15,7 +15,10 @@ TPU-native differences from the reference trainer:
   reference MMHandModel.py:109-116) and BatchNorm syncs batch statistics
   via the same axis name.
 * bf16 compute needs no AMP loss scaling, so the reference's overflow vote
-  (reference :294-308) has no equivalent here.
+  (reference :294-308) is off by default; PrecisionConfig.loss_scaling=True
+  (fp16 parity experiments) enables the TPU-native counterpart — dynamic
+  per-loss scalers, cross-replica overflow vote, sticky within-step update
+  skipping (train/precision.py).
 * the per-epoch LR schedule is applied by passing `lr` as a traced scalar —
   no re-jit per epoch (reference steps torch schedulers per epoch,
   models/base_model.py:83-87).
@@ -27,6 +30,7 @@ Loss contract (reference get_current_errors, MMHandModel.py:332-341):
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -126,9 +130,19 @@ def make_train_step(system: MMHandSystem, l1_loss):
     gan_mode = cfg.loss.gan_mode
     dg_ratio = cfg.optim.dg_ratio
     axis = system.axis_name
+    scaling = cfg.precision.loss_scaling
+    if scaling:
+        from mmhand_tpu.train import precision as amp
 
     def psync(tree):
         return jax.lax.pmean(tree, axis) if axis else tree
+
+    def pvote(flag):
+        """OR-reduce a per-replica overflow flag (the reference's
+        reduce_tensor vote, MMHandModel.py:301-306)."""
+        if axis:
+            return jax.lax.pmax(flag.astype(jnp.int32), axis) > 0
+        return flag
 
     def l1_terms(fake, real):
         if l1_loss is None:
@@ -144,8 +158,16 @@ def make_train_step(system: MMHandSystem, l1_loss):
             rngs={"dropout": dropout_rng})
         return out, new_vars["batch_stats"]
 
-    def d_phase(module, net: NetState, opt_state, real, fake_pool, rng, lr):
-        """One discriminator step (reference backward_D_basic :263-274)."""
+    def d_phase(module, net: NetState, opt_state, real, fake_pool, rng, lr,
+                scale=None, overflow_in=None):
+        """One discriminator step (reference backward_D_basic :263-274).
+
+        With loss scaling on, `scale` is this loss's LossScaleState and
+        `overflow_in` the sticky step-level flag; returns the updated
+        scale and flag alongside (both None when scaling is off).
+        BatchNorm batch-stat updates are kept even on overflow (torch
+        updates running stats during the forward regardless of whether
+        optimizer.step() runs)."""
         k1, k2 = jax.random.split(rng)
 
         def loss_fn(params):
@@ -155,15 +177,30 @@ def make_train_step(system: MMHandSystem, l1_loss):
             pred_fake, bs2 = apply_d(
                 module, NetState(params, bs1), fake_pool, k2)
             loss_fake = gan_loss(pred_fake, False, gan_mode) * lam_gan
-            return (loss_real + loss_fake) * 0.5, bs2
+            loss = (loss_real + loss_fake) * 0.5
+            if scale is not None:
+                loss = loss * scale.scale
+            return loss, bs2
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(net.params)
+        overflow = new_scale = None
+        if scale is not None:
+            grads = amp.unscale(grads, scale)
+            loss = loss / scale.scale
+            ovf = pvote(amp.grads_overflow(grads))
+            new_scale = amp.update_scale(scale, ovf)
+            overflow = jnp.logical_or(overflow_in, ovf)
         grads = psync(grads)
-        updates, opt_state = system.tx.update(grads, opt_state, net.params)
+        updates, new_opt = system.tx.update(grads, opt_state, net.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
-        new_net = NetState(optax.apply_updates(net.params, updates), new_stats)
-        return loss, new_net, opt_state
+        new_params = optax.apply_updates(net.params, updates)
+        if scale is not None:
+            ok = jnp.logical_not(overflow)
+            new_params = amp.select(ok, new_params, net.params)
+            new_opt = amp.select(ok, new_opt, opt_state)
+        return loss, NetState(new_params, new_stats), new_opt, \
+            new_scale, overflow
 
     def train_step(state: MMHandTrainState, batch, lr):
         rng = state.rng
@@ -202,6 +239,8 @@ def make_train_step(system: MMHandSystem, l1_loss):
             pair_l1, origin_l1, percep = l1_terms(fake, h2)
             pair_gan = (loss_gan_pb * lam_gan + loss_gan_pp * lam_gan) / 2.0
             loss = pair_l1 + pair_gan
+            if scaling:
+                loss = loss * state.scales["g"].scale
             aux = (fake, g_vars["batch_stats"],
                    {"pair_L1loss": pair_l1, "pair_GANloss": pair_gan,
                     "origin_L1": origin_l1, "perceptual": percep})
@@ -209,10 +248,26 @@ def make_train_step(system: MMHandSystem, l1_loss):
 
         (_, (fake, g_stats, g_metrics)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g.params)
+        # sticky within-step overflow flag: an earlier phase's overflow
+        # skips every later optimizer update too (reference
+        # optimize_parameters :315-328 checks self.overflow before each
+        # step; reset at :330 == our per-step re-derivation)
+        overflow = scales = None
+        if scaling:
+            g_grads = amp.unscale(g_grads, state.scales["g"])
+            ovf_g = pvote(amp.grads_overflow(g_grads))
+            scales = dict(state.scales,
+                          g=amp.update_scale(state.scales["g"], ovf_g))
+            overflow = ovf_g
         g_grads = psync(g_grads)
         g_updates, opt_g = system.tx.update(g_grads, state.opt_g, state.g.params)
         g_updates = jax.tree.map(lambda u: u * lr, g_updates)
-        g = NetState(optax.apply_updates(state.g.params, g_updates), g_stats)
+        g_params = optax.apply_updates(state.g.params, g_updates)
+        if scaling:
+            ok = jnp.logical_not(overflow)
+            g_params = amp.select(ok, g_params, state.g.params)
+            opt_g = amp.select(ok, opt_g, state.opt_g)
+        g = NetState(g_params, g_stats)
 
         fake = jax.lax.stop_gradient(fake)
 
@@ -224,9 +279,13 @@ def make_train_step(system: MMHandSystem, l1_loss):
         for i in range(dg_ratio):
             k_i = jax.random.fold_in(k_pool_pp, i)
             pool_pp, fake_pp = pool_query(pool_pp, fake_pp_full, k_i)
-            loss_d_pp, d_pp, opt_d_pp = d_phase(
+            loss_d_pp, d_pp, opt_d_pp, sc, overflow = d_phase(
                 system.d_pp, d_pp, opt_d_pp, real_pp, fake_pp,
-                jax.random.fold_in(k_dpp, i + 1), lr)
+                jax.random.fold_in(k_dpp, i + 1), lr,
+                scale=scales["d_pp"] if scaling else None,
+                overflow_in=overflow)
+            if scaling:
+                scales = dict(scales, d_pp=sc)
 
         # --------------------------------------------- D_PB phase (xDG)
         real_pb = jnp.concatenate([h2, p2], -1)
@@ -236,17 +295,26 @@ def make_train_step(system: MMHandSystem, l1_loss):
         for i in range(dg_ratio):
             k_i = jax.random.fold_in(k_pool_pb, i)
             pool_pb, fake_pb = pool_query(pool_pb, fake_pb_full, k_i)
-            loss_d_pb, d_pb, opt_d_pb = d_phase(
+            loss_d_pb, d_pb, opt_d_pb, sc, overflow = d_phase(
                 system.d_pb, d_pb, opt_d_pb, real_pb, fake_pb,
-                jax.random.fold_in(k_dpb, i + 1), lr)
+                jax.random.fold_in(k_dpb, i + 1), lr,
+                scale=scales["d_pb"] if scaling else None,
+                overflow_in=overflow)
+            if scaling:
+                scales = dict(scales, d_pb=sc)
 
         metrics = dict(g_metrics, D_PP=loss_d_pp, D_PB=loss_d_pb)
+        if scaling:
+            # extra observability key, only present in scaled runs (the
+            # 6-key reference loss contract is unchanged by default)
+            metrics["amp_overflow"] = overflow.astype(jnp.float32)
         metrics = psync(metrics)
 
         new_state = state.replace(
             step=state.step + 1, g=g, d_pb=d_pb, d_pp=d_pp,
             opt_g=opt_g, opt_d_pb=opt_d_pb, opt_d_pp=opt_d_pp,
-            pool_pb=pool_pb, pool_pp=pool_pp, rng=next_rng)
+            pool_pb=pool_pb, pool_pp=pool_pp, rng=next_rng,
+            scales=scales if scaling else state.scales)
         return new_state, metrics
 
     return train_step

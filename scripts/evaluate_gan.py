@@ -42,12 +42,18 @@ def main(argv=None):
     parser.add_argument("--hpm3d_npz", type=str, default=None)
     parser.add_argument("--no_pck", action="store_true",
                         help="skip the CPM judge (faster)")
+    parser.add_argument("--ssim_quirk", action="store_true",
+                        help="reproduce the reference SSIM range quirk "
+                             "(pred in [-1,1] vs gt in [0,1]; reference "
+                             "baselines/quantitative_on_benchmarks/"
+                             "utils.py:100-111) for 1:1 harness A/Bs")
     args = parser.parse_args(argv)
     cfg = from_cli_args(args, Config(is_train=False))
     scores = evaluate(cfg, batch_size=args.eval_batch,
                       inception_npz=args.inception_npz,
                       hpm2d_npz=args.hpm2d_npz, hpm3d_npz=args.hpm3d_npz,
-                      with_pck=not args.no_pck)
+                      with_pck=not args.no_pck,
+                      ssim_quirk=args.ssim_quirk)
     print(json.dumps({
         k: (v if isinstance(v, str) else round(float(v), 4))
         for k, v in scores.items()}))
@@ -55,7 +61,7 @@ def main(argv=None):
 
 def evaluate(cfg: Config, batch_size: int = 16, state=None,
              inception_npz=None, hpm2d_npz=None, hpm3d_npz=None,
-             with_pck: bool = True) -> dict:
+             with_pck: bool = True, ssim_quirk: bool = False) -> dict:
     from mmhand_tpu.data import HostLoader, build_dataset, make_prepare_batch
     from mmhand_tpu.eval import Evaluator, HPEJudge
     from mmhand_tpu.train.loop import build_system
@@ -84,7 +90,8 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
         else:
             judge = HPEJudge.random_init(size=cfg.model.fine_size)
 
-    evaluator = Evaluator(inception_vars=inception_vars, judge=judge)
+    evaluator = Evaluator(inception_vars=inception_vars, judge=judge,
+                          ssim_quirk=ssim_quirk)
 
     dataset = build_dataset(cfg)
     loader = HostLoader(dataset, batch_size, seed=cfg.data.seed,

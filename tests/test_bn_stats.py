@@ -1,4 +1,4 @@
-"""Dot-product BatchNorm statistics (MMHAND_BN_STATS=dot) parity.
+"""Dot-product BatchNorm statistics (OpImpl.bn_stats='dot') parity.
 
 The knob must be exact-math interchangeable with flax nn.BatchNorm (the
 default path): same param/variable tree, same train/eval outputs, same
@@ -9,16 +9,12 @@ See mmhand_tpu/ops/bn_stats.py for the profile evidence behind the knob.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from mmhand_tpu.models.layers import Norm, NormConfig
+from mmhand_tpu.models.layers import Norm, NormConfig, OpImpl
 from mmhand_tpu.ops.bn_stats import bn_moments
 
-
-@pytest.fixture
-def dot_env(monkeypatch):
-    monkeypatch.setenv("MMHAND_BN_STATS", "dot")
-    monkeypatch.setenv("MMHAND_BN_STATS_MIN", "0")
+DOT = OpImpl(bn_stats="dot", bn_stats_min=0)
+REDUCE = OpImpl(bn_stats="reduce")
 
 
 class TestBnMoments:
@@ -72,27 +68,26 @@ class TestBnMoments:
 class TestDotStatsBNParity:
     """Norm(kind='batch') with the knob == flax nn.BatchNorm without it."""
 
-    def _norm(self, axis_name=None):
+    def _norm(self, axis_name=None, impl=REDUCE):
         return Norm(NormConfig(kind="batch", axis_name=axis_name),
-                    dtype=jnp.float32)
+                    dtype=jnp.float32, impl=impl)
 
     def _x(self, seed=0, shape=(4, 8, 8, 6)):
         return jnp.asarray(np.random.RandomState(seed).normal(size=shape),
                            jnp.float32)
 
-    def test_tree_and_train_output_match(self, dot_env, monkeypatch):
+    def test_tree_and_train_output_match(self):
         x = self._x()
         m = self._norm()
-        monkeypatch.setenv("MMHAND_BN_STATS", "reduce")
+        md = self._norm(impl=DOT)
         vs0 = m.init(jax.random.PRNGKey(0), x, train=False)
         y0, upd0 = m.apply(vs0, x, train=True, mutable=["batch_stats"])
-        monkeypatch.setenv("MMHAND_BN_STATS", "dot")
-        vs1 = m.init(jax.random.PRNGKey(0), x, train=False)
+        vs1 = md.init(jax.random.PRNGKey(0), x, train=False)
         assert (jax.tree_util.tree_structure(vs0)
                 == jax.tree_util.tree_structure(vs1))
         for a, b in zip(jax.tree.leaves(vs0), jax.tree.leaves(vs1)):
             assert a.shape == b.shape and a.dtype == b.dtype
-        y1, upd1 = m.apply(vs0, x, train=True, mutable=["batch_stats"])
+        y1, upd1 = md.apply(vs0, x, train=True, mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-5, atol=1e-5)
         # running-stat updates (momentum 0.9) match
@@ -100,54 +95,49 @@ class TestDotStatsBNParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
-    def test_eval_output_matches(self, dot_env, monkeypatch):
+    def test_eval_output_matches(self):
         x = self._x(1)
         m = self._norm()
-        monkeypatch.setenv("MMHAND_BN_STATS", "reduce")
         vs = m.init(jax.random.PRNGKey(0), x, train=False)
         # give the running stats non-trivial values
         _, upd = m.apply(vs, x, train=True, mutable=["batch_stats"])
         vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
         y0 = m.apply(vs, x, train=False)
-        monkeypatch.setenv("MMHAND_BN_STATS", "dot")
-        y1 = m.apply(vs, x, train=False)
+        y1 = self._norm(impl=DOT).apply(vs, x, train=False)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-6, atol=1e-6)
 
-    def test_gradients_match(self, dot_env, monkeypatch):
+    def test_gradients_match(self):
         x = self._x(2)
         m = self._norm()
-        monkeypatch.setenv("MMHAND_BN_STATS", "reduce")
         vs = m.init(jax.random.PRNGKey(0), x, train=False)
 
-        def loss(params, xin):
-            out, _ = m.apply({"params": params,
-                              "batch_stats": vs["batch_stats"]},
-                             xin, train=True, mutable=["batch_stats"])
+        def loss(params, xin, module):
+            out, _ = module.apply({"params": params,
+                                   "batch_stats": vs["batch_stats"]},
+                                  xin, train=True, mutable=["batch_stats"])
             return jnp.sum(out ** 2)
 
-        gp0, gx0 = jax.grad(loss, argnums=(0, 1))(vs["params"], x)
-        monkeypatch.setenv("MMHAND_BN_STATS", "dot")
-        gp1, gx1 = jax.grad(loss, argnums=(0, 1))(vs["params"], x)
+        gp0, gx0 = jax.grad(loss, argnums=(0, 1))(vs["params"], x, m)
+        gp1, gx1 = jax.grad(loss, argnums=(0, 1))(
+            vs["params"], x, self._norm(impl=DOT))
         for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
                                    rtol=1e-4, atol=1e-5)
 
-    def test_shape_gate_routes_to_flax(self, monkeypatch):
-        """Below MMHAND_BN_STATS_MIN the flax reduce path is kept (the
+    def test_shape_gate_routes_to_flax(self):
+        """Below OpImpl.bn_stats_min the flax reduce path is kept (the
         Gram's N*C^2 MACs only pay off at stem resolution)."""
-        monkeypatch.setenv("MMHAND_BN_STATS", "dot")
-        monkeypatch.setenv("MMHAND_BN_STATS_MIN", str(1 << 18))
         x = self._x(3)  # 4*8*8 << 2^18
-        m = self._norm()
+        m = self._norm(impl=OpImpl(bn_stats="dot", bn_stats_min=1 << 18))
         vs = m.init(jax.random.PRNGKey(0), x, train=False)
         y, _ = m.apply(vs, x, train=True, mutable=["batch_stats"])
         assert y.shape == x.shape  # and the tree is the flax one
         assert "BatchNorm_0" in vs["params"]
 
-    def test_sync_bn_matches_full_batch(self, dot_env):
+    def test_sync_bn_matches_full_batch(self):
         """axis_name pmean-of-moments: per-shard dot stats == full-batch
         stats (the sync-BN contract the flax path is parity-tested to)."""
         from jax.sharding import Mesh, PartitionSpec as P
@@ -157,8 +147,8 @@ class TestDotStatsBNParity:
         mesh = Mesh(devs, ("data",))
         x = self._x(5, shape=(8, 4, 4, 6))
         m_sync = Norm(NormConfig(kind="batch", axis_name="data"),
-                      dtype=jnp.float32)
-        m_full = self._norm()
+                      dtype=jnp.float32, impl=DOT)
+        m_full = self._norm(impl=DOT)
         vs = m_full.init(jax.random.PRNGKey(0), x, train=False)
 
         def shard_fn(xs):

@@ -147,6 +147,24 @@ class TestEvaluatorE2E:
         assert scores["SSIM_avg"] == pytest.approx(1.0, abs=1e-4)
         assert scores["fid"] == pytest.approx(0.0, abs=1e-2)
 
+    def test_ssim_quirk_reproduces_reference_range_mismatch(self):
+        """--ssim_quirk: pred stays in [-1,1] while gt maps to [0,1]
+        (reference baselines/quantitative_on_benchmarks/utils.py:100-111),
+        so identical images do NOT score 1.0; the corrected default does."""
+        from mmhand_tpu.ops.ssim import ssim as ssim_fn
+        rng = np.random.RandomState(2)
+        imgs = rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32)
+        quirk = Evaluator(compute_fid=False, ssim_quirk=True)
+        quirk.feed(imgs, imgs)
+        scores = quirk.evaluate(is_chunk=4)
+        # exact quirk semantics: ssim(pred, (gt+1)/2)
+        want = np.asarray(ssim_fn(jnp.asarray(imgs),
+                                  (jnp.asarray(imgs) + 1) / 2,
+                                  size_average=False))
+        assert scores["SSIM_avg"] == pytest.approx(float(want.mean()),
+                                                   abs=1e-5)
+        assert scores["SSIM_avg"] < 0.99  # the mismatch is visible
+
 
 class TestHPEJudge:
     def test_random_judge_pipeline(self):

@@ -146,16 +146,17 @@ class TestUpConvDecomposition:
 
 
 class TestFusedStems:
-    """MMHAND_G_STEM_FUSED=1: one block-diagonal 7x7 conv for the three
-    stems — identical param tree and (near-bit) identical outputs."""
+    """Generator(stem_fused=1) (ModelConfig.g_stem_fused): one
+    block-diagonal 7x7 conv for the three stems — identical param tree and
+    (near-bit) identical outputs."""
 
-    def _small_g(self):
+    def _small_g(self, stem_fused=0):
         return Generator(ngf=16, n_blocks=2, n_downsampling=2,
                          norm=NormConfig(kind="batch"), use_dropout=False,
-                         dtype=jnp.float32)
+                         dtype=jnp.float32, stem_fused=stem_fused)
 
-    def test_fused_matches_unfused(self, rngs, monkeypatch):
-        g = self._small_g()
+    def test_fused_matches_unfused(self, rngs):
+        g0, g1 = self._small_g(0), self._small_g(1)
         b = 2
         inp = (jnp.asarray(np.random.RandomState(0)
                            .normal(size=(b, 64, 64, 3)), jnp.float32),
@@ -163,38 +164,33 @@ class TestFusedStems:
                            .normal(size=(b, 64, 64, 42)), jnp.float32),
                jnp.asarray(np.random.RandomState(2)
                            .normal(size=(b, 64, 64, 6)), jnp.float32))
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
-        vs = g.init(rngs, inp, train=False)
-        y0 = g.apply(vs, inp, train=False)
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "1")
-        vs1 = g.init(rngs, inp, train=False)
+        vs = g0.init(rngs, inp, train=False)
+        y0 = g0.apply(vs, inp, train=False)
+        vs1 = g1.init(rngs, inp, train=False)
         assert (jax.tree_util.tree_structure(vs)
                 == jax.tree_util.tree_structure(vs1))
         for a, c in zip(jax.tree.leaves(vs), jax.tree.leaves(vs1)):
             assert a.shape == c.shape
-        y1 = g.apply(vs, inp, train=False)
+        y1 = g1.apply(vs, inp, train=False)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_fused_gradients_match(self, rngs, monkeypatch):
-        g = self._small_g()
+    def test_fused_gradients_match(self, rngs):
+        g0, g1 = self._small_g(0), self._small_g(1)
         inp = tuple(
             jnp.asarray(np.random.RandomState(i).normal(size=(1, 32, 32, c)),
                         jnp.float32) for i, c in enumerate((3, 42, 6)))
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
-        vs = g.init(rngs, inp, train=False)
+        vs = g0.init(rngs, inp, train=False)
 
-        def loss(params, fused):
-            import os
-            os.environ["MMHAND_G_STEM_FUSED"] = fused
-            out = g.apply({"params": params,
-                           "batch_stats": vs["batch_stats"]},
-                          inp, train=False)
+        def loss(params, module):
+            out = module.apply({"params": params,
+                                "batch_stats": vs["batch_stats"]},
+                               inp, train=False)
             return jnp.sum(out ** 2)
 
-        g0 = jax.grad(lambda p: loss(p, "0"))(vs["params"])
-        g1 = jax.grad(lambda p: loss(p, "1"))(vs["params"])
-        for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        ga = jax.grad(lambda p: loss(p, g0))(vs["params"])
+        gb = jax.grad(lambda p: loss(p, g1))(vs["params"])
+        for a, c in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-3, atol=1e-3)
 
@@ -230,39 +226,41 @@ class TestDStemGradSplit:
 
 
 class TestUpConvShuffleVariants:
-    """MMHAND_UPCONV_SHUFFLE: the d2s and single-2x2-conv ('conv4')
+    """OpImpl.upconv_shuffle: the d2s and single-2x2-conv ('conv4')
     interleave formulations equal the stack interleave exactly."""
 
-    def test_variants_match_stack(self, monkeypatch):
-        from mmhand_tpu.models.layers import UpConv
+    def test_variants_match_stack(self):
+        from mmhand_tpu.models.layers import OpImpl, UpConv
         x = jnp.asarray(np.random.RandomState(0)
                         .normal(size=(2, 8, 8, 6)), jnp.float32)
-        m = UpConv(5, use_bias=True, dtype=jnp.float32)
+        m = UpConv(5, use_bias=True, dtype=jnp.float32,
+                   impl=OpImpl(upconv_shuffle="stack"))
         vs = m.init(jax.random.PRNGKey(0), x)
-        monkeypatch.setenv("MMHAND_UPCONV_SHUFFLE", "stack")
         y0 = m.apply(vs, x)
         assert y0.shape == (2, 16, 16, 5)
         for impl in ("d2s", "conv4"):
-            monkeypatch.setenv("MMHAND_UPCONV_SHUFFLE", impl)
+            mi = UpConv(5, use_bias=True, dtype=jnp.float32,
+                        impl=OpImpl(upconv_shuffle=impl))
             np.testing.assert_allclose(
-                np.asarray(m.apply(vs, x)), np.asarray(y0),
+                np.asarray(mi.apply(vs, x)), np.asarray(y0),
                 rtol=1e-5, atol=1e-5, err_msg=impl)
 
-    def test_variant_gradients_match(self, monkeypatch):
-        from mmhand_tpu.models.layers import UpConv
+    def test_variant_gradients_match(self):
+        from mmhand_tpu.models.layers import OpImpl, UpConv
         x = jnp.asarray(np.random.RandomState(1)
                         .normal(size=(1, 6, 6, 4)), jnp.float32)
-        m = UpConv(3, dtype=jnp.float32)
+        m = UpConv(3, dtype=jnp.float32,
+                   impl=OpImpl(upconv_shuffle="stack"))
         vs = m.init(jax.random.PRNGKey(0), x)
 
-        def loss(params, impl):
-            import os
-            os.environ["MMHAND_UPCONV_SHUFFLE"] = impl
-            return jnp.sum(m.apply({"params": params}, x) ** 2)
+        def loss(params, module):
+            return jnp.sum(module.apply({"params": params}, x) ** 2)
 
-        g0 = jax.grad(lambda p: loss(p, "stack"))(vs["params"])
+        g0 = jax.grad(lambda p: loss(p, m))(vs["params"])
         for impl in ("d2s", "conv4"):
-            gi = jax.grad(lambda p: loss(p, impl))(vs["params"])
+            mi = UpConv(3, dtype=jnp.float32,
+                        impl=OpImpl(upconv_shuffle=impl))
+            gi = jax.grad(lambda p: loss(p, mi))(vs["params"])
             for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(gi)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                            rtol=1e-4, atol=1e-4,
@@ -270,35 +268,32 @@ class TestUpConvShuffleVariants:
 
 
 class TestFusedStemBN:
-    """MMHAND_G_STEM_FUSED=2: one fused BN stat reduction for the three
+    """Generator(stem_fused=2): one fused BN stat reduction for the three
     stems — same outputs, gradients, and running-stat updates as unfused."""
 
-    def _g(self):
+    def _g(self, stem_fused=0):
         return Generator(ngf=16, n_blocks=1, n_downsampling=2,
                          norm=NormConfig(kind="batch"), use_dropout=False,
-                         dtype=jnp.float32)
+                         dtype=jnp.float32, stem_fused=stem_fused)
 
-    def test_train_apply_matches_unfused(self, rngs, monkeypatch):
-        g = self._g()
+    def test_train_apply_matches_unfused(self, rngs):
+        g0, g2 = self._g(0), self._g(2)
         inp = tuple(
             jnp.asarray(np.random.RandomState(i).normal(size=(2, 64, 64, c)),
                         jnp.float32) for i, c in enumerate((3, 42, 6)))
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
-        vs = g.init(rngs, inp, train=False)
+        vs = g0.init(rngs, inp, train=False)
 
-        def run(mode):
-            import os
-            os.environ["MMHAND_G_STEM_FUSED"] = mode
-            y, upd = g.apply(vs, inp, train=True, mutable=["batch_stats"],
-                             rngs={"dropout": rngs["dropout"]})
+        def run(module):
+            y, upd = module.apply(vs, inp, train=True,
+                                  mutable=["batch_stats"],
+                                  rngs={"dropout": rngs["dropout"]})
             return y, upd["batch_stats"]
 
-        y0, bs0 = run("0")
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "2")
-        vs2 = g.init(rngs, inp, train=False)
+        y0, bs0 = run(g0)
+        vs2 = g2.init(rngs, inp, train=False)
         assert (jax.tree_util.tree_structure(vs2)
                 == jax.tree_util.tree_structure(vs))
-        y2, bs2 = run("2")
+        y2, bs2 = run(g2)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
                                    rtol=1e-4, atol=1e-4)
         assert (jax.tree_util.tree_structure(bs0)
@@ -307,33 +302,71 @@ class TestFusedStemBN:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-4, atol=1e-5)
 
-    def test_eval_and_grads_match(self, rngs, monkeypatch):
-        g = self._g()
+    def test_eval_and_grads_match(self, rngs):
+        g0, g2 = self._g(0), self._g(2)
         inp = tuple(
             jnp.asarray(np.random.RandomState(i).normal(size=(1, 32, 32, c)),
                         jnp.float32) for i, c in enumerate((3, 42, 6)))
-        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "0")
-        vs = g.init(rngs, inp, train=False)
+        vs = g0.init(rngs, inp, train=False)
 
-        def loss(params, mode, train):
-            import os
-            os.environ["MMHAND_G_STEM_FUSED"] = mode
-            out = g.apply({"params": params,
-                           "batch_stats": vs["batch_stats"]},
-                          inp, train=train,
-                          **({"mutable": ["batch_stats"],
-                              "rngs": {"dropout": rngs["dropout"]}}
-                             if train else {}))
+        def loss(params, module, train):
+            out = module.apply({"params": params,
+                                "batch_stats": vs["batch_stats"]},
+                               inp, train=train,
+                               **({"mutable": ["batch_stats"],
+                                   "rngs": {"dropout": rngs["dropout"]}}
+                                  if train else {}))
             out = out[0] if train else out
             return jnp.sum(out ** 2)
 
         # eval-mode forward parity (running-average stats path)
         np.testing.assert_allclose(
-            float(loss(vs["params"], "0", False)),
-            float(loss(vs["params"], "2", False)), rtol=1e-5)
+            float(loss(vs["params"], g0, False)),
+            float(loss(vs["params"], g2, False)), rtol=1e-5)
         # train-mode gradient parity (grads flow through the fused stats)
-        g0 = jax.grad(lambda p: loss(p, "0", True))(vs["params"])
-        g2 = jax.grad(lambda p: loss(p, "2", True))(vs["params"])
-        for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        ga = jax.grad(lambda p: loss(p, g0, True))(vs["params"])
+        gb = jax.grad(lambda p: loss(p, g2, True))(vs["params"])
+        for a, c in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=2e-3, atol=2e-3)
+
+
+class TestOpImplConfigPlumbing:
+    """ModelConfig is the single source of truth for the TPU impl knobs;
+    OpImpl defaults must mirror it, MMHandSystem must thread it, and the
+    MMHAND_* env overrides (profiling escape hatch) must apply at system
+    build only."""
+
+    def test_opimpl_defaults_mirror_model_config(self):
+        from mmhand_tpu.config import ModelConfig
+        from mmhand_tpu.models.layers import OpImpl
+        m = ModelConfig()
+        assert OpImpl() == OpImpl.from_model_config(m)
+
+    def test_system_threads_config_knobs(self):
+        from mmhand_tpu.config import Config, ModelConfig
+        from mmhand_tpu.train.state import MMHandSystem
+        cfg = Config(model=ModelConfig(
+            fine_size=32, g_n_blocks=1, ngf=8, ndf=8,
+            reflect_impl="border", upconv_shuffle="d2s", bn_stats="dot",
+            dstem_split=False, g_stem_fused=2))
+        sys_ = MMHandSystem(cfg)
+        assert sys_.generator.impl.reflect == "border"
+        assert sys_.generator.impl.upconv_shuffle == "d2s"
+        assert sys_.generator.impl.bn_stats == "dot"
+        assert sys_.generator.stem_fused == 2
+        assert sys_.d_pb.impl.reflect == "border"
+        assert sys_.d_pb_gsplit.stem_grad_split == 0  # dstem_split=False
+
+    def test_env_overrides_apply_at_system_build(self, monkeypatch):
+        from mmhand_tpu.config import Config
+        from mmhand_tpu.train.state import MMHandSystem
+        monkeypatch.setenv("MMHAND_DSTEM_SPLIT", "1")
+        monkeypatch.setenv("MMHAND_G_STEM_FUSED", "1")
+        monkeypatch.setenv("MMHAND_BN_STATS", "dot")
+        sys_ = MMHandSystem(Config())
+        assert sys_.d_pb_gsplit.stem_grad_split == 3  # output_nc
+        assert sys_.generator.stem_fused == 1
+        assert sys_.generator.impl.bn_stats == "dot"
+        # config object itself is untouched (overrides are build-time only)
+        assert Config().model.dstem_split is False  # measured default (r4 A/B)

@@ -291,22 +291,20 @@ class TestS2dConv:
         np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
                                    rtol=2e-4, atol=2e-3)
 
-    def test_padconv_stridedconv_route_parity(self, monkeypatch):
-        """PadConv 7x7 stems / StridedConv under the s2d env knobs equal the
-        direct lowering and keep an identical param tree."""
+    def test_padconv_stridedconv_route_parity(self):
+        """PadConv 7x7 stems / StridedConv under the s2d impl knobs equal
+        the direct lowering and keep an identical param tree."""
         import jax
         import jax.numpy as jnp
-        from mmhand_tpu.models.layers import NormConfig, PadConv, StridedConv
+        from mmhand_tpu.models.layers import OpImpl, PadConv, StridedConv
         rng = np.random.RandomState(4)
         x42 = jnp.asarray(rng.normal(size=(2, 32, 32, 42)).astype(np.float32))
         x64 = jnp.asarray(rng.normal(size=(2, 32, 32, 64)).astype(np.float32))
 
-        def run(env):
-            for k, v in env.items():
-                monkeypatch.setenv(k, v)
-            stem = PadConv(64, 7, pad=3)
-            head = PadConv(3, 7, pad=3)
-            down = StridedConv(128)
+        def run(impl):
+            stem = PadConv(64, 7, pad=3, impl=impl)
+            head = PadConv(3, 7, pad=3, impl=impl)
+            down = StridedConv(128, impl=impl)
             vs_s = stem.init(jax.random.PRNGKey(0), x42)
             vs_h = head.init(jax.random.PRNGKey(1), x64)
             vs_d = down.init(jax.random.PRNGKey(2), x64)
@@ -314,10 +312,8 @@ class TestS2dConv:
                     down.apply(vs_d, x64),
                     jax.tree_util.tree_structure((vs_s, vs_h, vs_d)))
 
-        on = run({"MMHAND_STEM_IMPL": "s2d", "MMHAND_HEAD_IMPL": "d2s",
-                  "MMHAND_DOWN_IMPL": "s2d"})
-        off = run({"MMHAND_STEM_IMPL": "direct", "MMHAND_HEAD_IMPL": "direct",
-                   "MMHAND_DOWN_IMPL": "direct"})
+        on = run(OpImpl(stem="s2d", head="d2s", down="s2d"))
+        off = run(OpImpl(stem="direct", head="direct", down="direct"))
         assert on[3] == off[3]
         for a, b in zip(on[:3], off[:3]):
             np.testing.assert_allclose(np.asarray(a, np.float32),

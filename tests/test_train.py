@@ -310,3 +310,116 @@ class TestPoolVectorizedEquivalence:
         np.testing.assert_allclose(np.asarray(new_state.images), want_imgs,
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(replayed), want_out, atol=1e-6)
+
+
+class TestLossScaling:
+    """PrecisionConfig.loss_scaling: the fp16-parity dynamic-scaling path
+    (train/precision.py; reference models/MMHandModel.py:294-330 amp O1
+    overflow vote).  Scales are powers of two, so each scale/unscale is
+    exact in f32 — but XLA constant-folds the scale into adjacent ops
+    (e.g. a mean's 1/N divisor), which reorders rounding, so the full
+    step matches the unscaled one only to ~1e-5 relative."""
+
+    def _cfg(self, loss_scaling):
+        from mmhand_tpu.config import LossConfig, PrecisionConfig
+        return Config(
+            model=ModelConfig(fine_size=32, g_n_blocks=1, ngf=8, ndf=8,
+                              use_dropout_g=False, use_dropout_d=False),
+            loss=LossConfig(l1_type="origin"),
+            optim=OptimConfig(pool_size=0),
+            precision=PrecisionConfig(compute_dtype="float32",
+                                      loss_scaling=loss_scaling))
+
+    def _run(self, loss_scaling, batch, steps=2):
+        system = MMHandSystem(self._cfg(loss_scaling))
+        state = system.init_state(jax.random.PRNGKey(0), 2)
+        step = jax.jit(make_train_step(system, None))
+        metrics = None
+        for _ in range(steps):
+            state, metrics = step(state, batch, 2e-4)
+        return state, metrics
+
+    def test_no_overflow_matches_unscaled(self):
+        """With no overflow, the scaled step reproduces the unscaled one
+        to rounding-reorder tolerance (see class docstring), and the
+        scalers grow their clean-step counters.
+
+        The comparison is bulk + max-bound rather than elementwise-tight:
+        the reorder noise on a gradient is ~1 f32 ulp, but Adam's update
+        lr*g/(|g|+eps) has sensitivity ~lr/(4*eps) where |g|~eps, so an
+        isolated near-eps gradient can turn ~1e-9 of grad noise into
+        ~5e-6 of parameter difference (observed: 1 element / 9216).
+        That is eps-region amplification of legitimate rounding noise,
+        not a scaling bug; 99.9% of elements must still agree to
+        (rtol 1e-5, atol 1e-7) and no element may move more than 2e-5."""
+        batch = _batch(2)
+        s0, m0 = self._run(False, batch)
+        s1, m1 = self._run(True, batch)
+        for a, b in zip(jax.tree.leaves((s0.g, s0.d_pb, s0.d_pp)),
+                        jax.tree.leaves((s1.g, s1.d_pb, s1.d_pp))):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            diff = np.abs(a - b)
+            ok = diff <= 1e-7 + 1e-5 * np.abs(b)
+            assert ok.mean() >= 0.999, (ok.mean(), diff.max())
+            assert diff.max() < 2e-5, diff.max()
+        assert m1["amp_overflow"] == 0.0
+        assert "amp_overflow" not in m0  # default 6-key contract untouched
+        for k in ("g", "d_pp", "d_pb"):
+            assert float(s1.scales[k].scale) == 2.0 ** 16
+            assert int(s1.scales[k].growth_count) == 2
+
+    def test_overflow_skips_all_later_updates(self):
+        """A G-phase overflow skips the G update AND both D updates (the
+        sticky self.overflow, reference :315-328), backs off only G's
+        scale, and still applies the BN batch-stat updates (torch running
+        stats update during forward regardless of optimizer.step)."""
+        from mmhand_tpu.train.precision import LossScaleState
+        system = MMHandSystem(self._cfg(True))
+        state = system.init_state(jax.random.PRNGKey(0), 2)
+        # near-f32-max G scale + a loss > 1 (H2=3 is outside tanh range,
+        # so pair_L1 ~ 3) forces inf in the scaled G gradients
+        big = LossScaleState(scale=jnp.asarray(3.0e38, jnp.float32),
+                             growth_count=jnp.zeros((), jnp.int32))
+        state = state.replace(scales=dict(state.scales, g=big))
+        batch = _batch(2)
+        batch["H2"] = jnp.full_like(batch["H2"], 3.0)
+
+        step = jax.jit(make_train_step(system, None))
+        out, metrics = step(state, batch, 2e-4)
+
+        assert metrics["amp_overflow"] == 1.0
+        for a, b in zip(jax.tree.leaves((state.g.params, state.d_pb.params,
+                                         state.d_pp.params, state.opt_g)),
+                        jax.tree.leaves((out.g.params, out.d_pb.params,
+                                         out.d_pp.params, out.opt_g))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # G scale backed off; D scales untouched (their grads were finite)
+        assert float(out.scales["g"].scale) == pytest.approx(1.5e38)
+        assert int(out.scales["g"].growth_count) == 0
+        for k in ("d_pp", "d_pb"):
+            assert float(out.scales[k].scale) == 2.0 ** 16
+            assert int(out.scales[k].growth_count) == 1
+        # BN batch stats DID update (forward ran)
+        stats0 = np.concatenate([np.ravel(x)
+                                 for x in jax.tree.leaves(state.g.batch_stats)])
+        stats1 = np.concatenate([np.ravel(x)
+                                 for x in jax.tree.leaves(out.g.batch_stats)])
+        assert not np.array_equal(stats0, stats1)
+
+    def test_update_scale_growth_and_backoff(self):
+        from mmhand_tpu.train import precision as amp
+        s = amp.init_scale(2.0 ** 10)
+        no, yes = jnp.asarray(False), jnp.asarray(True)
+        for _ in range(amp.GROWTH_INTERVAL - 1):
+            s = amp.update_scale(s, no)
+        assert float(s.scale) == 2.0 ** 10
+        s = amp.update_scale(s, no)  # GROWTH_INTERVAL-th clean step
+        assert float(s.scale) == 2.0 ** 11
+        assert int(s.growth_count) == 0
+        s = amp.update_scale(s, yes)
+        assert float(s.scale) == 2.0 ** 10
+        # floor at 1
+        s = amp.init_scale(1.0)
+        s = amp.update_scale(s, yes)
+        assert float(s.scale) == 1.0

@@ -2,9 +2,11 @@
 
     python tools/precompile_leg.py <leg-name>
 
-Uses jax.eval_shape + jit(...).lower(...).compile() so NO device memory is
-allocated: several legs can compile concurrently on the remote TPU compiler
-while the chip itself stays free for foreground measurement.  The compiled
+Uses jax.eval_shape + jit(...).lower(...).compile() so the 1GB+ train state
+stays abstract; the remote TPU compiler does the heavy work.  Note the
+process still touches the single-tenant chip: init_vgg runs a real (tiny)
+init, and PJRT compile() loads the executable onto the device — so run
+precompiles only while no foreground measurement is active.  The compiled
 executable lands in the persistent compile cache (utils/runtime.py), so the
 subsequent tools/stem_ab_oneproc.py measurement pass loads it in seconds.
 
@@ -18,6 +20,9 @@ from __future__ import annotations
 import os
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from mmhand_tpu.utils.runtime import setup_runtime
 
@@ -31,6 +36,10 @@ from tools.stem_ab_oneproc import LEGS, KNOB_KEYS
 
 
 def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in LEGS:
+        print(f"usage: python tools/precompile_leg.py <leg>\n"
+              f"valid legs: {sorted(LEGS)}", file=sys.stderr)
+        raise SystemExit(2)
     name = sys.argv[1]
     batch = 16
     for k in KNOB_KEYS:

@@ -21,6 +21,9 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from mmhand_tpu.utils.runtime import setup_runtime
 
@@ -30,9 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# name -> env overrides (applied on top of defaults, then removed)
+# name -> env overrides, applied on top of the CURRENT ModelConfig
+# defaults (then removed).  NOTE the r4 default flip: dstem_split is now
+# False, so "control" == "nosplit" == the shipped configuration; "split"
+# re-measures the r3 default for continuity.  up_* legs therefore now
+# measure their composition WITH the nosplit winner.
 LEGS = {
     "control": {},
+    "split": {"MMHAND_DSTEM_SPLIT": "1"},
     "nosplit": {"MMHAND_DSTEM_SPLIT": "0"},
     "fused": {"MMHAND_G_STEM_FUSED": "1"},
     "fused_ds2d": {"MMHAND_G_STEM_FUSED": "1", "MMHAND_STEM_IMPL": "s2d"},
@@ -84,7 +92,28 @@ def run_leg(env: dict, batch: int = 16, iters: int = 20) -> float:
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stem_ab_oneproc.json"
     names = sys.argv[2:] or list(LEGS)
+    unknown = [n for n in names if n not in LEGS]
+    if unknown:
+        print(f"unknown leg(s) {unknown}; valid: {sorted(LEGS)}",
+              file=sys.stderr)
+        raise SystemExit(2)
+
+    # The watcher launches this right when the chip returns — the
+    # highest-risk window for a flapping backend; a hang inside backend
+    # init would wedge the whole matrix.  Probe from a killable
+    # subprocess first (same guard as bench.py).
+    from bench import _wait_for_backend
+    _wait_for_backend()
+
+    # Merge with prior results so a resume run (subset of legs after a
+    # timeout) does not clobber already-completed legs.
     results = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                results = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            results = {}
     for name in names:
         t0 = time.perf_counter()
         ips = run_leg(LEGS[name])
