@@ -65,15 +65,14 @@ class ModelConfig:
     stem_impl: str = "direct"
     # stride-2 downsamples: 'direct' | 's2d' (measured loser, 37.91)
     down_impl: str = "direct"
-    # ConvTranspose pixel-shuffle interleave: 'stack' | 'd2s' (44.33 at
-    # the r4 control point, where 'stack'=44.23) | 'conv4' (44.67 at the
-    # same point; its interaction with dstem_split=False is a separate
-    # r4 leg — see BASELINE.md for the adopted number)
-    upconv_shuffle: str = "stack"
-    # BatchNorm batch statistics: 'reduce' (flax; 44.23 control) | 'dot'
-    # (MXU dots, ops/bn_stats.py; measured LOSER 43.34 — r4 A/B); 'dot'
-    # applies only to sites with batch*H*W >= bn_stats_min (the Gram's
-    # N*C^2 MACs need big spatial)
+    # ConvTranspose pixel-shuffle interleave: 'conv4' (one 4*C-lane conv +
+    # depth-to-space, 45.86 img/s composed with the r4 defaults) | 'stack'
+    # (45.42 at the same point) | 'd2s' (45.45) — r4b A/B, BASELINE.md
+    upconv_shuffle: str = "conv4"
+    # BatchNorm batch statistics: 'reduce' (flax; 45.87 r4c control) |
+    # 'dot' (MXU dots; measured LOSER 43.34 — r4 A/B) | 'pallas' (one-pass
+    # Mosaic reduction; measured LOSER 43.57 — r4c A/B, ops/bn_stats.py).
+    # Non-reduce modes apply only to sites with batch*H*W >= bn_stats_min
     bn_stats: str = "reduce"
     bn_stats_min: int = 1 << 18
     # D-stem computed as two channel-block convs so the conditioning

@@ -299,9 +299,10 @@ class Generator(nn.Module):
             ys = _fused_stem_conv((x1, x2, x3), kbs, pad=3)
             means = vars_ = (None, None, None)
             if fused_bn and train:
-                if self.impl.bn_stats == "dot":
+                if self.impl.bn_stats in ("dot", "pallas"):
                     from mmhand_tpu.ops.bn_stats import bn_moments
-                    mu, mu2 = bn_moments(jnp.concatenate(ys, axis=-1))
+                    mu, mu2 = bn_moments(jnp.concatenate(ys, axis=-1),
+                                         method=self.impl.bn_stats)
                 else:
                     yc = jnp.concatenate(ys, axis=-1).astype(jnp.float32)
                     mu = yc.mean((0, 1, 2))

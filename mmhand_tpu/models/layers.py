@@ -46,7 +46,7 @@ class OpImpl:
     head: str = "d2s"
     stem: str = "direct"
     down: str = "direct"
-    upconv_shuffle: str = "stack"
+    upconv_shuffle: str = "conv4"
     bn_stats: str = "reduce"
     bn_stats_min: int = 1 << 18
 
@@ -149,16 +149,18 @@ class NormConfig:
 
 class _DotStatsBN(nn.Module):
     """Param/variable twin of flax nn.BatchNorm whose batch statistics are
-    computed by ops.bn_stats.bn_moments (MXU dots) instead of reduce ops —
-    same tree (scale, bias, batch_stats mean/var under 'BatchNorm_0'-style
-    naming), same fast-variance f32 formula, momentum 0.9, eps 1e-5, and
-    the same axis_name pmean-of-moments sync-BN.  Routed by Norm when
-    MMHAND_BN_STATS=dot for large-spatial sites (see ops/bn_stats.py for
-    the profile evidence)."""
+    computed by ops.bn_stats.bn_moments (MXU dots or a one-pass Pallas
+    reduction, per `method`) instead of reduce ops — same tree (scale,
+    bias, batch_stats mean/var under 'BatchNorm_0'-style naming), same
+    fast-variance f32 formula, momentum 0.9, eps 1e-5, and the same
+    axis_name pmean-of-moments sync-BN.  Routed by Norm when
+    ModelConfig.bn_stats is 'dot'/'pallas' for large-spatial sites (see
+    ops/bn_stats.py for the profile evidence)."""
 
     features: int
     dtype: Dtype
     axis_name: Optional[str] = None
+    method: str = "dot"
 
     def setup(self):
         self.scale = self.param("scale", norm_scale_init,
@@ -177,7 +179,7 @@ class _DotStatsBN(nn.Module):
             mean, var = self.ra_mean.value, self.ra_var.value
         else:
             from mmhand_tpu.ops.bn_stats import bn_moments
-            mu, mu2 = bn_moments(x)
+            mu, mu2 = bn_moments(x, method=self.method)
             if self.axis_name and not self.is_initializing():
                 mu, mu2 = jax.lax.pmean(
                     jnp.stack([mu, mu2]), self.axis_name)
@@ -202,17 +204,19 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.cfg.kind == "batch":
-            # Dot-product batch statistics for full-res BN sites (~24 ms of
-            # pathological reduce fusions at the r3 profile; bn_stats.py).
-            # Shape-gated: the Gram's N*C^2 MACs only pay for themselves on
-            # the big-spatial stem-resolution sites.  Same param/variable
-            # tree either way (checkpoint-compatible).
-            if (self.impl.bn_stats == "dot"
+            # Restructured batch statistics for full-res BN sites (~24 ms
+            # of pathological reduce fusions at the r3 profile;
+            # bn_stats.py): 'dot' = MXU dots, 'pallas' = one-pass Mosaic
+            # reduction.  Shape-gated to the big-spatial stem-resolution
+            # sites.  Same param/variable tree either way
+            # (checkpoint-compatible).
+            if (self.impl.bn_stats in ("dot", "pallas")
                     and x.ndim == 4
                     and x.shape[0] * x.shape[1] * x.shape[2]
                     >= self.impl.bn_stats_min):
                 return _DotStatsBN(x.shape[-1], self.dtype,
                                    axis_name=self.cfg.axis_name,
+                                   method=self.impl.bn_stats,
                                    name="BatchNorm_0")(x, train)
             return nn.BatchNorm(
                 use_running_average=not train,

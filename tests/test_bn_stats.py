@@ -1,4 +1,4 @@
-"""Dot-product BatchNorm statistics (OpImpl.bn_stats='dot') parity.
+"""Restructured BatchNorm statistics (OpImpl.bn_stats='dot'/'pallas') parity.
 
 The knob must be exact-math interchangeable with flax nn.BatchNorm (the
 default path): same param/variable tree, same train/eval outputs, same
@@ -9,19 +9,26 @@ See mmhand_tpu/ops/bn_stats.py for the profile evidence behind the knob.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmhand_tpu.models.layers import Norm, NormConfig, OpImpl
 from mmhand_tpu.ops.bn_stats import bn_moments
 
 DOT = OpImpl(bn_stats="dot", bn_stats_min=0)
+PALLAS = OpImpl(bn_stats="pallas", bn_stats_min=0)
 REDUCE = OpImpl(bn_stats="reduce")
+
+parametrize_method = pytest.mark.parametrize("method", ["dot", "pallas"])
+parametrize_impl = pytest.mark.parametrize("impl", [DOT, PALLAS],
+                                           ids=["dot", "pallas"])
 
 
 class TestBnMoments:
-    def test_matches_reduce_moments(self):
+    @parametrize_method
+    def test_matches_reduce_moments(self, method):
         x = jnp.asarray(np.random.RandomState(0)
                         .normal(size=(4, 9, 7, 13)), jnp.float32)
-        mu, mu2 = bn_moments(x)
+        mu, mu2 = bn_moments(x, method=method)
         xf = x.astype(jnp.float32)
         np.testing.assert_allclose(np.asarray(mu),
                                    np.asarray(xf.mean((0, 1, 2))),
@@ -30,7 +37,8 @@ class TestBnMoments:
                                    np.asarray((xf * xf).mean((0, 1, 2))),
                                    rtol=1e-6, atol=1e-6)
 
-    def test_custom_vjp_matches_autodiff_of_reduce(self):
+    @parametrize_method
+    def test_custom_vjp_matches_autodiff_of_reduce(self, method):
         x = jnp.asarray(np.random.RandomState(1)
                         .normal(size=(2, 5, 5, 3)), jnp.float32)
         co_mu = jnp.asarray(np.random.RandomState(2).normal(size=(3,)),
@@ -39,7 +47,7 @@ class TestBnMoments:
                              jnp.float32)
 
         def via_dot(x):
-            mu, mu2 = bn_moments(x)
+            mu, mu2 = bn_moments(x, method=method)
             return jnp.vdot(mu, co_mu) + jnp.vdot(mu2, co_mu2)
 
         def via_reduce(x):
@@ -51,10 +59,11 @@ class TestBnMoments:
                                    np.asarray(jax.grad(via_reduce)(x)),
                                    rtol=1e-5, atol=1e-6)
 
-    def test_bf16_inputs_accumulate_f32(self):
+    @parametrize_method
+    def test_bf16_inputs_accumulate_f32(self, method):
         x = jnp.asarray(np.random.RandomState(4)
                         .normal(size=(8, 16, 16, 5)), jnp.bfloat16)
-        mu, mu2 = bn_moments(x)
+        mu, mu2 = bn_moments(x, method=method)
         assert mu.dtype == jnp.float32 and mu2.dtype == jnp.float32
         xf = x.astype(jnp.float32)
         np.testing.assert_allclose(np.asarray(mu),
@@ -76,10 +85,11 @@ class TestDotStatsBNParity:
         return jnp.asarray(np.random.RandomState(seed).normal(size=shape),
                            jnp.float32)
 
-    def test_tree_and_train_output_match(self):
+    @parametrize_impl
+    def test_tree_and_train_output_match(self, impl):
         x = self._x()
         m = self._norm()
-        md = self._norm(impl=DOT)
+        md = self._norm(impl=impl)
         vs0 = m.init(jax.random.PRNGKey(0), x, train=False)
         y0, upd0 = m.apply(vs0, x, train=True, mutable=["batch_stats"])
         vs1 = md.init(jax.random.PRNGKey(0), x, train=False)
@@ -104,10 +114,14 @@ class TestDotStatsBNParity:
         vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
         y0 = m.apply(vs, x, train=False)
         y1 = self._norm(impl=DOT).apply(vs, x, train=False)
+        y2 = self._norm(impl=PALLAS).apply(vs, x, train=False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y2),
+                                   rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-6, atol=1e-6)
 
-    def test_gradients_match(self):
+    @parametrize_impl
+    def test_gradients_match(self, impl):
         x = self._x(2)
         m = self._norm()
         vs = m.init(jax.random.PRNGKey(0), x, train=False)
@@ -120,10 +134,15 @@ class TestDotStatsBNParity:
 
         gp0, gx0 = jax.grad(loss, argnums=(0, 1))(vs["params"], x, m)
         gp1, gx1 = jax.grad(loss, argnums=(0, 1))(
-            vs["params"], x, self._norm(impl=DOT))
+            vs["params"], x, self._norm(impl=impl))
+        # The bias grad 2*sum(out) is analytically ZERO (BN output is
+        # zero-mean), so both sides are pure f32 cancellation noise of
+        # order N*eps*|x| ~ 3e-5 at N=256; the summation-order difference
+        # between the stat formulations lands there in full.  atol covers
+        # the noise floor; rtol still pins the non-degenerate scale grad.
         for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+                                       rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
                                    rtol=1e-4, atol=1e-5)
 

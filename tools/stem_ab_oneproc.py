@@ -46,6 +46,7 @@ LEGS = {
     "fused_ds2d": {"MMHAND_G_STEM_FUSED": "1", "MMHAND_STEM_IMPL": "s2d"},
     "fusedbn": {"MMHAND_G_STEM_FUSED": "2"},
     "bnstats": {"MMHAND_BN_STATS": "dot"},
+    "bnpallas": {"MMHAND_BN_STATS": "pallas"},
     "fusedbn_dot": {"MMHAND_G_STEM_FUSED": "2", "MMHAND_BN_STATS": "dot"},
     "up_d2s": {"MMHAND_UPCONV_SHUFFLE": "d2s"},
     "up_conv4": {"MMHAND_UPCONV_SHUFFLE": "conv4"},
