@@ -195,6 +195,10 @@ class RunConfig:
     continue_train: bool = False     # --continue_train
     which_epoch: str = "latest"      # --which_epoch
     display_freq: int = 100          # --display_freq
+    # >0 enables the live loss plot at print_freq (reference --display_id
+    # visdom window id, base_options.py:81-84; here it gates the
+    # serverless SVG/HTML chart, utils/liveplot.py)
+    display_id: int = 0              # --display_id
     print_freq: int = 100            # --print_freq
     save_latest_freq: int = 5000     # --save_latest_freq
     save_epoch_freq: int = 1         # --save_epoch_freq
@@ -270,6 +274,7 @@ _FLAG_MAP = [
     ("--phase", "run.phase", str, "train/test"),
     ("--which_epoch", "run.which_epoch", str, "epoch label to load"),
     ("--display_freq", "run.display_freq", int, ""),
+    ("--display_id", "run.display_id", int, ">0: live loss plot"),
     ("--print_freq", "run.print_freq", int, ""),
     ("--save_latest_freq", "run.save_latest_freq", int, ""),
     ("--save_epoch_freq", "run.save_epoch_freq", int, ""),

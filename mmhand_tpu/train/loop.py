@@ -169,10 +169,15 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
 
             if total_steps % cfg.run.print_freq == 0:
                 jax.block_until_ready(metrics)
+                errors = {k: float(v) for k, v in metrics.items()}
                 vis.print_current_errors(
-                    epoch, total_steps,
-                    {k: float(v) for k, v in metrics.items()},
+                    epoch, total_steps, errors,
                     (time.time() - t0) / host_bsz)
+                if cfg.run.display_id > 0:  # live chart (reference
+                    # train.py:41-44 plots at print_freq when display_id>0)
+                    spe = max(1, loader.steps_per_epoch())
+                    vis.plot_current_errors(
+                        epoch, (total_steps % spe) / spe, errors)
             if (total_steps % cfg.run.display_freq == 0 and master
                     and not multiprocess):  # snapshot fetches device->host
                 _save_snapshot(vis, system, state, batch, mesh,

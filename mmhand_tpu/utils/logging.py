@@ -4,6 +4,9 @@
   `checkpoints/<name>/loss_log.txt` (reference util/visualizer.py:27-30,
   116-123);
 * options snapshot `opt.txt` (reference options/base_options.py:209-217);
+* live loss plot (reference visdom vis.line, util/visualizer.py:100-113)
+  as a serverless auto-refresh SVG/HTML pair (utils/liveplot.py), gated by
+  --display_id>0 exactly like the reference;
 * optional jax.profiler trace capture (the reference had no tracing at all
   — SURVEY.md §5; this is the idiomatic addition).
 """
@@ -55,6 +58,20 @@ class Visualizer:
         print(message)
         with open(self.log_name, "a") as f:
             f.write(message + "\n")
+
+    def plot_current_errors(self, epoch: int, counter_ratio: float,
+                            errors: dict) -> None:
+        """Live loss chart (reference plot_current_errors,
+        util/visualizer.py:100-113): X = epoch + within-epoch ratio, one
+        series per loss key; written as web/losses.{svg,html} instead of a
+        visdom window (see utils/liveplot.py)."""
+        if not self.master:
+            return
+        if not hasattr(self, "_plot"):
+            from mmhand_tpu.utils.liveplot import LossPlot
+            self._plot = LossPlot(os.path.join(self.dir, "web"),
+                                  title=os.path.basename(self.dir))
+        self._plot.add(epoch + counter_ratio, errors)
 
     def save_image(self, image, name: str) -> None:
         """Save a snapshot into web/images and refresh the HTML gallery

@@ -157,3 +157,49 @@ class TestHand3dBinary:
         padded = add_padding(np.ones((21, 3), np.float32))
         assert padded.shape == (42, 3)
         assert padded[21:].sum() == 0
+
+
+class TestLivePlot:
+    """Serverless visdom replacement (utils/liveplot.py; reference
+    util/visualizer.py:100-113 plot_current_errors)."""
+
+    def test_add_writes_svg_html_json_and_resumes(self, tmp_path):
+        from mmhand_tpu.utils.liveplot import LossPlot
+        web = str(tmp_path / "web")
+        p = LossPlot(web, title="exp")
+        p.add(1.0, {"pair_L1loss": 3.0, "D_PP": 1.5})
+        p.add(1.5, {"pair_L1loss": 2.0, "D_PP": 1.4})
+        svg = open(os.path.join(web, "losses.svg")).read()
+        assert "<polyline" in svg and "pair_L1loss" in svg and "D_PP" in svg
+        html = open(os.path.join(web, "losses.html")).read()
+        assert 'http-equiv="refresh"' in html and "<svg" in html
+        # legend is fixed at the first call (reference :101-104): a key
+        # appearing later is ignored, a missing key becomes a gap
+        p.add(2.0, {"pair_L1loss": 1.0, "new_key": 9.0})
+        assert p.legend == ["pair_L1loss", "D_PP"]
+        # resume continues the curve from plot_data.json
+        q = LossPlot(web, title="exp")
+        assert q.xs == [1.0, 1.5, 2.0] and q.legend == p.legend
+        q.add(2.5, {"pair_L1loss": 0.5, "D_PP": 1.0})
+        assert len(q.xs) == 4
+
+    def test_render_svg_gaps_and_degenerate(self):
+        from mmhand_tpu.utils.liveplot import render_svg
+        svg = render_svg([0.0, 1.0, 2.0],
+                         [[1.0, float("nan")], [None, 2.0], [3.0, 2.5]],
+                         ["a", "b"])
+        assert svg.count("<circle") >= 1  # isolated point drawn as a dot
+        assert "<polyline" in svg
+        # single point, constant value: no division by zero
+        svg2 = render_svg([0.5], [[1.0]], ["only"])
+        assert "<svg" in svg2 and "only" in svg2
+
+    def test_visualizer_gate_and_wiring(self, tmp_path):
+        from mmhand_tpu.utils.logging import Visualizer
+        vis = Visualizer(str(tmp_path), "exp", master=False)
+        vis.plot_current_errors(1, 0.0, {"x": 1.0})  # no-op, no files
+        assert not os.path.exists(os.path.join(str(tmp_path), "exp", "web"))
+        vis2 = Visualizer(str(tmp_path), "exp", master=True)
+        vis2.plot_current_errors(1, 0.25, {"x": 1.0})
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "exp", "web", "losses.html"))
