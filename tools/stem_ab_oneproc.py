@@ -17,6 +17,7 @@ completed legs.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -51,9 +52,16 @@ LEGS = {
     "up_d2s": {"MMHAND_UPCONV_SHUFFLE": "d2s"},
     "up_conv4": {"MMHAND_UPCONV_SHUFFLE": "conv4"},
     "pre_r3b": {"MMHAND_DSTEM_SPLIT": "0", "MMHAND_G_STEM_FUSED": "0"},
+    # Config-field legs ("cfg.<path>" keys are applied to Config() instead
+    # of the environment).  zeropad measures the reference's own
+    # --padding_type zero flag (base_options.py accepts reflect|replicate|
+    # zero) — same flag surface, cheaper padding semantics — as the
+    # documented fast preset.
+    "zeropad": {"cfg.model.padding_type": "zero"},
 }
 
-KNOB_KEYS = sorted({k for env in LEGS.values() for k in env})
+KNOB_KEYS = sorted({k for env in LEGS.values() for k in env
+                    if not k.startswith("cfg.")})
 
 
 def run_leg(env: dict, batch: int = 16, iters: int = 20) -> float:
@@ -62,9 +70,21 @@ def run_leg(env: dict, batch: int = 16, iters: int = 20) -> float:
 
     for k in KNOB_KEYS:
         os.environ.pop(k, None)
-    os.environ.update(env)
+    os.environ.update({k: v for k, v in env.items()
+                       if not k.startswith("cfg.")})
 
     cfg = Config()
+    for key, value in env.items():
+        if key.startswith("cfg."):
+            # Config dataclasses are frozen: rebuild the chain of nodes
+            # from the leaf outward with dataclasses.replace.
+            path = key[len("cfg."):].split(".")
+            nodes = [cfg]
+            for p in path[:-1]:
+                nodes.append(getattr(nodes[-1], p))
+            for attr, node in zip(reversed(path), reversed(nodes)):
+                value = dataclasses.replace(node, **{attr: value})
+            cfg = value
     system = MMHandSystem(cfg)
     state = system.init_state(jax.random.PRNGKey(0), local_batch_size=batch)
     vgg = system.make_l1_loss(None).init_vgg(
