@@ -26,6 +26,7 @@ Prints one JSON line per bench; results are recorded in BASELINE.md.
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -50,8 +51,15 @@ def _time_steps(step, state, args, iters=20):
         state, metrics = step(state, *args)
     # D2H fetch of a scalar forces full completion on axon
     leaf = jax.tree.leaves(metrics)[0]
-    float(np.asarray(jax.device_get(leaf)).ravel()[0])
-    return time.perf_counter() - t0
+    val = float(np.asarray(jax.device_get(leaf)).ravel()[0])
+    dt = time.perf_counter() - t0
+    # A NaN/Inf chained value makes the axon timing chain return early and
+    # throughput read impossibly fast (BASELINE.md gotchas) — a diverged
+    # step must invalidate the timing, not inflate it.
+    if not math.isfinite(val):
+        raise RuntimeError(
+            f"bench metrics went non-finite ({val}); timing invalid")
+    return dt
 
 
 def bench_hpe(size=256, batch=20, iters=20):
