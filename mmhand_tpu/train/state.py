@@ -105,10 +105,13 @@ class MMHandSystem:
         lc = self.config.loss
         if lc.l1_type == "origin":
             return None  # plain L1 handled inline in the step
+        dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}.get(
+            self.config.precision.compute_dtype, jnp.float32)
         return L1PlusPerceptual(
             lambda_l1=lc.lambda_a, lambda_perceptual=lc.lambda_b,
             perceptual_layers=lc.perceptual_layers,
-            percep_is_l1=lc.percep_is_l1, vgg_variables=vgg_variables)
+            percep_is_l1=lc.percep_is_l1, vgg_variables=vgg_variables,
+            dtype=dtype)
 
     def init_state(self, rng, local_batch_size: Optional[int] = None
                    ) -> MMHandTrainState:

@@ -24,7 +24,11 @@ import numpy as np
 
 
 def _to_np(v):
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    # copy, not view: .numpy() aliases the torch storage, which in-place
+    # optimizer steps mutate — a converted-live-state_dict tree must be a
+    # snapshot (tests/test_torch_parity.py trains the torch twin afterwards)
+    return (np.array(v.detach().cpu().numpy()) if hasattr(v, "detach")
+            else np.array(v))
 
 
 def _conv(sd, key):
