@@ -48,6 +48,10 @@ def main(argv=None):
     add_cli_args(parser)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--model", default="hpm",
+                        choices=("hpm", "hpm2d", "hpm3d"),
+                        help="trainer variant (reference models/__init__.py:"
+                             "55-67): joint 2d+3d, 2d-only, or 3d-only")
     parser.add_argument("--from_bin", type=str, default=None,
                         help="train from a hand3d packed binary GAN DB "
                              "(scripts/create_hand3d_db.py output) instead "
@@ -55,20 +59,22 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = from_cli_args(args, Config())
     result = train_hpe(cfg, max_steps=args.max_steps, epochs=args.epochs,
-                       from_bin=args.from_bin)
-    print(f"done: {result['steps']} steps, mse={result['mse']:.4f} "
-          f"lz={result['lz']:.4f}")
+                       from_bin=args.from_bin, variant=args.model)
+    shown = " ".join(f"{k}={v:.4f}" for k, v in result.items()
+                     if k != "steps" and np.isfinite(v))
+    print(f"done: {result['steps']} steps, {shown}")
 
 
 def train_hpe(cfg: Config, max_steps=None, epochs=None, from_bin=None,
-              host_id: int = 0, num_hosts: int = 1) -> dict:
+              host_id: int = 0, num_hosts: int = 1,
+              variant: str = "hpm") -> dict:
     n_dev = jax.device_count()
     distributed = n_dev > 1
     axis = "data" if distributed else None
     master = host_id == 0
 
     system = HPESystem(lr=cfg.optim.lr, beta1=cfg.optim.beta1,
-                       axis_name=axis)
+                       axis_name=axis, variant=variant)
     state = system.init_state(jax.random.PRNGKey(cfg.data.seed),
                               size=cfg.model.fine_size)
     if distributed:
@@ -116,7 +122,8 @@ def train_hpe(cfg: Config, max_steps=None, epochs=None, from_bin=None,
             t0 = time.time()
             raw = dataset.batch(order[i * bsz:(i + 1) * bsz])
             state, metrics = step(state, place(prepare(raw)), lr)
-            epoch_losses.append(metrics["mse"])
+            # plateau input: the variant's primary objective
+            epoch_losses.append(metrics.get("mse", metrics.get("lz")))
             total += 1
             if total % cfg.run.print_freq == 0:
                 jax.block_until_ready(metrics)
@@ -126,8 +133,8 @@ def train_hpe(cfg: Config, max_steps=None, epochs=None, from_bin=None,
             if max_steps and total >= max_steps:
                 ckpt.save(state, "latest")
                 return {"steps": total,
-                        "mse": float(metrics["mse"]),
-                        "lz": float(metrics["lz"])}
+                        "mse": float(metrics.get("mse", np.nan)),
+                        "lz": float(metrics.get("lz", np.nan))}
         if epoch_losses:
             epoch_metric = float(np.mean(
                 [float(x) for x in jax.device_get(epoch_losses)]))

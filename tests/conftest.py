@@ -24,3 +24,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not marked `slow` is the smoke tier.
+
+    `pytest -m smoke` = fast verification cycle; `pytest -m slow` = the
+    long integration tail (multihost subprocesses, script-CLI interchange,
+    torch parity, long pipelines); plain `pytest` = both.  Wall-times in
+    CLAUDE.md."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)

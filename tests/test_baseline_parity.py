@@ -151,3 +151,132 @@ class TestPoseResNetParity:
                      jnp.zeros((1, 64, 64, 3)), train=False)
         n_flax = sum(np.prod(p.shape) for p in jax.tree.leaves(v["params"]))
         assert int(n_flax) == int(n_torch)
+
+
+# ---------------------------------------------------------------------------
+# B5 zoo tail: depth/voxel GAN baselines (VERDICT r4 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def _import_zoo_net(name):
+    """Load a reference networks/net_*.py standalone.  Those files do
+    `from models.networks import *` (resolvable only in the hpm3d copy,
+    whose package __init__ pulls apex); serve the torch-pure blocks.py
+    namespace through a temporary stub instead, restoring sys.modules
+    afterwards so the real /root/reference/models package keeps working
+    for the other parity tests."""
+    import importlib.util
+    import shutil
+    import tempfile
+
+    def load(path, modname):
+        tmp = tempfile.mkdtemp(prefix="refzoo_")
+        dst = shutil.copy(path, tmp)
+        spec = importlib.util.spec_from_file_location(modname, dst)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    base = "/root/reference/baselines/quantitative_on_benchmarks/networks"
+    blocks = load(f"{base}/blocks.py", "ref_zoo_blocks")
+    saved = {k: sys.modules.get(k) for k in ("models", "models.networks")}
+    try:
+        pkg = types.ModuleType("models")
+        netsmod = types.ModuleType("models.networks")
+        for attr in dir(blocks):
+            if not attr.startswith("_"):
+                setattr(netsmod, attr, getattr(blocks, attr))
+        netsmod.functools = blocks.functools
+        pkg.networks = netsmod
+        sys.modules["models"] = pkg
+        sys.modules["models.networks"] = netsmod
+        return load(f"{base}/{name}.py", f"ref_zoo_{name}")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _ncdhw(x):
+    return torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
+
+
+def _ndhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 4, 1))
+
+
+class TestDepthVoxelZooParity:
+    def test_depth_generator(self):
+        from mmhand_tpu.models.voxel_nets import (
+            DepthGenerator, load_depth_generator_state_dict)
+
+        torch.manual_seed(0)
+        t = _import_zoo_net("net_depthgenerator").DepthGenerator().eval()
+        variables = load_depth_generator_state_dict(t.state_dict())
+        x = np.random.RandomState(0).uniform(
+            -1, 1, (2, 42)).astype(np.float32)
+        with torch.no_grad():
+            want = _nhwc(t(torch.tensor(x)))
+        got = np.asarray(DepthGenerator().apply(
+            variables, jnp.asarray(x), train=False))
+        assert got.shape == (2, 128, 128, 1)
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_depth_discriminator(self):
+        from mmhand_tpu.models.voxel_nets import (
+            DepthDiscriminator, load_depth_discriminator_state_dict)
+
+        torch.manual_seed(1)
+        # reference __main__ calls DepthDiscriminator(1) which TypeErrors
+        # (output_nc has no default, net_depthdiscriminator.py:59-63);
+        # instantiate as the ctor actually requires
+        t = _import_zoo_net("net_depthdiscriminator").DepthDiscriminator(
+            1, 0, ndf=8).eval()
+        variables = load_depth_discriminator_state_dict(t.state_dict())
+        x = np.random.RandomState(1).uniform(
+            -1, 1, (1, 256, 256, 1)).astype(np.float32)
+        with torch.no_grad():
+            want = t(_nchw(x))
+        got = DepthDiscriminator(ndf=8).apply(
+            variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), _nhwc(want[0]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got[1]), _nhwc(want[1]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got[2]), want[2].numpy(), atol=2e-4)
+
+    def test_voxel_generator(self):
+        from mmhand_tpu.models.voxel_nets import (
+            VoxelGenerator, load_voxel_generator_state_dict)
+
+        torch.manual_seed(2)
+        t = _import_zoo_net("net_voxelgenerator").VoxelGenerator().eval()
+        variables = load_voxel_generator_state_dict(t.state_dict())
+        x = np.random.RandomState(2).uniform(
+            -1, 1, (1, 16, 16, 16, 1)).astype(np.float32)
+        with torch.no_grad():
+            want = _ndhwc(t(_ncdhw(x)))
+        got = np.asarray(VoxelGenerator().apply(
+            variables, jnp.asarray(x), train=False))
+        assert got.shape == (1, 16, 16, 16, 1)
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_voxel_discriminator(self):
+        from mmhand_tpu.models.voxel_nets import (
+            VoxelDiscriminator, load_voxel_discriminator_state_dict)
+
+        torch.manual_seed(3)
+        t = _import_zoo_net("net_voxeldiscriminator").VoxelDiscriminator(
+        ).eval()
+        variables = load_voxel_discriminator_state_dict(t.state_dict())
+        x = np.random.RandomState(3).uniform(
+            -1, 1, (2, 16, 16, 16, 2)).astype(np.float32)
+        with torch.no_grad():
+            want = _ndhwc(t(_ncdhw(x)))
+        got = np.asarray(VoxelDiscriminator().apply(
+            variables, jnp.asarray(x), train=False))
+        assert got.shape == (2, 1, 1, 1, 1)
+        np.testing.assert_allclose(got, want, atol=2e-5)

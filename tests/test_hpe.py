@@ -298,3 +298,67 @@ def test_train_hpe_resume(tmp_path):
                                 continue_train=True))
     r2 = train_hpe(cfg2, max_steps=1)
     assert np.isfinite(r2["mse"])
+
+
+class TestHPEVariants:
+    """--model hpm2d / hpm3d single-net trainers (reference
+    models/__init__.py:55-67 factory; hpm2d_model.py:25-112,
+    hpm3d_model.py:26-113)."""
+
+    def _batch(self):
+        rng = np.random.RandomState(3)
+        return {
+            "image": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)),
+                                 jnp.float32),
+            "heatmaps": jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 21)),
+                                    jnp.float32),
+            "z": jnp.asarray(rng.uniform(0, 1, (2, 21)), jnp.float32),
+            "weight": jnp.asarray([1, 1], jnp.int32),
+        }
+
+    def test_hpm2d_trains_2d_only(self):
+        system = HPESystem(dtype=jnp.float32, variant="hpm2d")
+        state = system.init_state(jax.random.PRNGKey(0), size=32)
+        assert state.params3d is None and state.opt3d is None
+        step = jax.jit(make_hpe_train_step(system))
+        batch = self._batch()
+        state, m0 = step(state, batch, 2e-4)
+        assert set(m0) == {"mse"}
+        for _ in range(5):
+            state, m = step(state, batch, 2e-4)
+        assert float(m["mse"]) < float(m0["mse"])
+
+    def test_hpm3d_trains_3d_only_with_x10_quirk(self):
+        system = HPESystem(dtype=jnp.float32, variant="hpm3d")
+        state = system.init_state(jax.random.PRNGKey(0), size=32)
+        assert state.params2d is None and state.opt2d is None
+        step = jax.jit(make_hpe_train_step(system))
+        batch = self._batch()
+        # the x10 SmoothL1 quirk (reference hpm3d_model.py:105): the
+        # variant's first-step loss is exactly 10x the joint trainer's lz
+        # on the same init/batch
+        joint = HPESystem(dtype=jnp.float32, variant="hpm")
+        jstate = joint.init_state(jax.random.PRNGKey(0), size=32)
+        jstep = jax.jit(make_hpe_train_step(joint))
+        _, mj = jstep(jstate, batch, 2e-4)
+        state, m0 = step(state, batch, 2e-4)
+        assert set(m0) == {"lz"}
+        np.testing.assert_allclose(float(m0["lz"]), 10.0 * float(mj["lz"]),
+                                   rtol=1e-6)
+
+    def test_variant_cli_wiring(self, tmp_path):
+        """scripts/train_hpe.py --model hpm2d end-to-end smoke (synthetic)."""
+        import sys
+        sys.path.insert(0, "scripts")
+        import train_hpe as cli
+
+        cli.main(["--dataset", "synthetic", "--fineSize", "32",
+                  "--batchSize", "2", "--max_steps", "2", "--model", "hpm2d",
+                  "--name", "hpe2d_smoke", "--checkpoints_dir",
+                  str(tmp_path), "--augmentation_method", "None",
+                  "--print_freq", "1000"])
+        assert (tmp_path / "hpe2d_smoke").is_dir()
+
+    def test_bad_variant_rejected(self):
+        with pytest.raises(ValueError):
+            HPESystem(variant="hpm4d")

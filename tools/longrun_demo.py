@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Long-horizon training stability demo (VERDICT r4 weak #2 / next #3-#4).
+
+Protocol, on the real TPU chip:
+
+1. synthesize a 64-item 256px RHD-layout crop tree (structured block
+   images — bench._ensure_e2e_tree);
+2. leg 1: `scripts/train.py` over it (batch 16, --display_id 1 liveplot,
+   latest checkpoint every `--save_every` steps) KILLED with SIGKILL after
+   `--t1` seconds — a real mid-run crash, not a clean exit (reference
+   crash-recovery contract: restart with --continue_train, SURVEY §5);
+3. leg 2: `--continue_train` for `--steps2` more steps;
+4. verification: pair_L1loss descent across the whole loss_log.txt
+   (first-window mean vs last-window mean + recorded floor), loss
+   continuity across the kill (no re-initialization jump), liveplot
+   plot_data.json carrying both legs, and SSIM(fake, target) over the
+   actual trained pairs with the repo's own ops.ssim.
+
+Prints one summary JSON line; exits nonzero if any check fails.
+
+Run with --padding_type zero for the fast-preset A/B
+(reference --padding_type choices, options/base_options.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def parse_loss_log(path):
+    """loss lines: '(epoch: E, iters: I, time: T) key: v key: v ...'"""
+    rows = []
+    pat = re.compile(r"\(epoch: (\d+), iters: (\d+), time: [\d.]+\)(.*)")
+    with open(path) as fh:
+        for line in fh:
+            m = pat.match(line.strip())
+            if not m:
+                continue
+            kv = dict(re.findall(r"(\w+): ([-\d.naninf]+)", m.group(3)))
+            rows.append((int(m.group(1)), int(m.group(2)),
+                         {k: float(v) for k, v in kv.items()}))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/mmhand_longrun")
+    ap.add_argument("--name", default="longrun")
+    ap.add_argument("--items", type=int, default=64)
+    ap.add_argument("--kill_after_prints", type=int, default=40,
+                    help="SIGKILL leg 1 once this many loss lines exist "
+                         "(steps = this x print_freq); progress-based "
+                         "because trace+compile time dominates wall time "
+                         "on this host")
+    ap.add_argument("--t1_max", type=int, default=2700,
+                    help="hard ceiling (s) on leg 1 before giving up")
+    ap.add_argument("--steps2", type=int, default=1000,
+                    help="additional steps in the resumed leg")
+    ap.add_argument("--padding_type", default="reflect",
+                    choices=("reflect", "zero"))
+    ap.add_argument("--print_freq", type=int, default=20)
+    ap.add_argument("--save_every", type=int, default=100)
+    args = ap.parse_args()
+
+    from bench import _ensure_e2e_tree  # noqa: E402 (repo root on path)
+
+    data = os.path.join(args.dir, f"tree{args.items}")
+    ckpt_dir = os.path.join(args.dir, "ckpt")
+    name = f"{args.name}_{args.padding_type}"
+    _ensure_e2e_tree(data, args.items)
+
+    common = ["--dataset", "RHD", "--dataroot", data, "--batchSize", "16",
+              "--fineSize", "256", "--name", name,
+              "--checkpoints_dir", ckpt_dir,
+              "--padding_type", args.padding_type,
+              "--display_id", "1", "--print_freq", str(args.print_freq),
+              "--display_freq", "100000",
+              "--save_latest_freq", str(args.save_every),
+              "--seed", "49"]
+    train = [sys.executable, str(REPO / "scripts" / "train.py")]
+
+    # ---- leg 1: SIGKILL once real training progress is on disk
+    import signal
+
+    run_dir = os.path.join(ckpt_dir, name)
+    if os.path.isdir(run_dir):
+        import shutil
+        shutil.rmtree(run_dir)  # fresh demo; leg 2 must append to leg 1 only
+    log = os.path.join(run_dir, "loss_log.txt")
+    t0 = time.time()
+    proc = subprocess.Popen(train + common)
+    killed = False
+    while time.time() - t0 < args.t1_max:
+        if proc.poll() is not None:
+            break
+        rows1 = parse_loss_log(log) if os.path.exists(log) else []
+        # kill only past a save point (save_every) so leg 2 has a
+        # checkpoint that is strictly older than the last logged losses
+        if len(rows1) >= args.kill_after_prints:
+            os.kill(proc.pid, signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(5)
+    proc.wait()
+    leg1_secs = time.time() - t0
+    rows1 = parse_loss_log(log)
+    assert killed, f"leg1 ended on its own (rc={proc.returncode}) before " \
+                   f"{args.kill_after_prints} loss prints"
+    assert rows1, "leg1 produced no loss lines before the kill"
+    leg1_last = rows1[-1][2]["pair_L1loss"]
+
+    # ---- leg 2: resume from the latest checkpoint
+    r2 = subprocess.run(train + common + ["--continue_train",
+                                          "--max_steps", str(args.steps2)])
+    assert r2.returncode == 0, f"leg2 rc={r2.returncode}"
+    rows = parse_loss_log(log)
+    rows2 = rows[len(rows1):]
+    assert rows2, "leg2 appended no loss lines"
+
+    # ---- checks
+    l1_series = [r[2]["pair_L1loss"] for r in rows]
+    k = max(1, len(l1_series) // 10)
+    start_mean = sum(l1_series[:k]) / k
+    floor = sum(l1_series[-k:]) / k
+    resumed_first = rows2[0][2]["pair_L1loss"]
+    # continuity: the resumed loss must look like the pre-kill loss, not a
+    # fresh init (fresh-init pair_L1loss is ~2x the converged value early
+    # on; allow 60% slack for the replay-pool/optimizer warm-up)
+    continuity_ok = resumed_first < leg1_last * 1.6 + 0.5
+    descent_ok = floor < 0.7 * start_mean
+
+    with open(os.path.join(ckpt_dir, name, "web", "plot_data.json")) as fh:
+        plot = json.load(fh)
+    plot_ok = len(plot["Y"]) >= len(rows) // 2
+
+    # ---- SSIM over the trained pairs (repo's own evaluator math)
+    ssim_avg = _ssim_on_train_pairs(data, ckpt_dir, name,
+                                    args.padding_type)
+
+    out = {
+        "metric": "longrun_stability",
+        "padding_type": args.padding_type,
+        "steps_logged": len(rows) * args.print_freq,
+        "leg1_seconds": round(leg1_secs, 1),
+        "pair_L1_start": round(start_mean, 4),
+        "pair_L1_floor": round(floor, 4),
+        "pair_L1_before_kill": round(leg1_last, 4),
+        "pair_L1_after_resume": round(resumed_first, 4),
+        "ssim_train_pairs": round(ssim_avg, 4),
+        "descent_ok": descent_ok,
+        "continuity_ok": continuity_ok,
+        "plot_ok": plot_ok,
+    }
+    print(json.dumps(out))
+    if not (descent_ok and continuity_ok and plot_ok):
+        raise SystemExit(2)
+
+
+def _ssim_on_train_pairs(data, ckpt_dir, name, padding_type):
+    """Restore the trained G and SSIM the fakes against their actual
+    training targets (the overfit pairs themselves)."""
+    from mmhand_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+    import jax
+    import numpy as np
+
+    from mmhand_tpu.config import (Config, DataConfig, ModelConfig,
+                                   RunConfig)
+    from mmhand_tpu.data import HostLoader, build_dataset, make_prepare_batch
+    from mmhand_tpu.ops.ssim import ssim
+    from mmhand_tpu.train.state import MMHandSystem
+    from mmhand_tpu.train.step import make_eval_step
+    from mmhand_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config(model=ModelConfig(padding_type=padding_type),
+                 data=DataConfig(dataset="RHD", dataroot=data,
+                                 batch_size=16, serial_batches=True),
+                 run=RunConfig(name=name, checkpoints_dir=ckpt_dir))
+    system = MMHandSystem(cfg)
+    state = system.init_state(jax.random.PRNGKey(0), local_batch_size=1)
+    state = CheckpointManager(ckpt_dir, name).restore(state, "latest")
+    eval_step = make_eval_step(system)
+    dataset = build_dataset(cfg)
+    loader = HostLoader(dataset, 16, shuffle=False, drop_last=False)
+    prepare = make_prepare_batch(cfg.data.sigma)
+    vals = []
+    for raw in loader.epoch(0):
+        batch = prepare({k: v for k, v in raw.items()
+                         if not k.endswith("paths")})
+        fake = eval_step(state.g, batch)
+        # ssim over [0,1]-scaled images, per reference convention
+        vals.append(float(ssim((fake + 1) / 2,
+                               (batch["H2"] + 1) / 2)))
+    return float(np.mean(vals))
+
+
+if __name__ == "__main__":
+    main()
