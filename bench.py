@@ -52,12 +52,15 @@ def main():
     cfg = Config()  # flagship: 256px, ngf64, 9 blocks, pool 50
     batch = 16
 
+    from mmhand_tpu.utils.runtime import lazy_aot
+
     system = MMHandSystem(cfg)
     state = system.init_state(jax.random.PRNGKey(0), local_batch_size=batch)
     vgg = system.make_l1_loss(None).init_vgg(
         jax.random.PRNGKey(1), (1, 256, 256, 3))
     l1 = system.make_l1_loss(vgg)
-    step = jax.jit(make_train_step(system, l1), donate_argnums=(0,))
+    step = lazy_aot(jax.jit(make_train_step(system, l1),
+                            donate_argnums=(0,)))
 
     rng = np.random.RandomState(0)
     data = {k: jnp.asarray(
@@ -165,14 +168,16 @@ def main_e2e(data_dir: str, n_items: int, steps: int, cache: bool):
     note("tree ready")
     cfg = Config(data=DataConfig(dataset="RHD", dataroot=data_dir,
                                  batch_size=batch, n_threads=8))
+    from mmhand_tpu.utils.runtime import lazy_aot
+
     system = MMHandSystem(cfg)
     state = system.init_state(jax.random.PRNGKey(0), local_batch_size=batch)
     note("state initialized")
     vgg = system.make_l1_loss(None).init_vgg(
         jax.random.PRNGKey(1), (1, 256, 256, 3))
     note("vgg initialized")
-    step = jax.jit(make_train_step(system, system.make_l1_loss(vgg)),
-                   donate_argnums=(0,))
+    step = lazy_aot(jax.jit(make_train_step(system, system.make_l1_loss(vgg)),
+                            donate_argnums=(0,)))
     dataset = build_dataset(cfg)
     loader = HostLoader(dataset, batch, seed=cfg.data.seed,
                         num_threads=cfg.data.n_threads, cache=cache)

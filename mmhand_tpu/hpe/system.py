@@ -96,6 +96,20 @@ class HPESystem:
             optax.scale(-1.0)))
 
     def init_state(self, rng, size: int = 256) -> HPETrainState:
+        """Eager flax init routed via the host CPU on accelerator backends
+        (axon tunnel: per-op dispatch is a network RTT — see
+        MMHandSystem.init_state)."""
+        try:
+            if jax.default_backend() != "cpu":
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    state = self._init_state_impl(rng, size)
+                return jax.device_put(state, jax.devices()[0])
+        except RuntimeError:
+            pass
+        return self._init_state_impl(rng, size)
+
+    def _init_state_impl(self, rng, size: int = 256) -> HPETrainState:
         k2, k3 = jax.random.split(rng)
         p2d = p3d = o2d = o3d = None
         if self.variant in ("hpm", "hpm2d"):

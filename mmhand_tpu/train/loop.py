@@ -57,8 +57,11 @@ def build_system(cfg: Config, vgg_npz: Optional[str] = None):
                 "random-projection loss, structurally valid but NOT the "
                 "reference's ImageNet-VGG perceptual term; pass "
                 "--vgg_npz converted weights for parity)", stacklevel=2)
+            # PRNGKey(1) == the bench/tools seed: the random VGG weights
+            # embed as jaxpr CONSTANTS, so the persistent compile cache
+            # only hits across entry points when the values match
             vgg_vars = system.make_l1_loss(None).init_vgg(
-                jax.random.PRNGKey(7),
+                jax.random.PRNGKey(1),
                 (1, cfg.model.fine_size, cfg.model.fine_size, 3))
         l1 = system.make_l1_loss(vgg_vars)
     return system, l1
@@ -118,7 +121,9 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             place = lambda b: shard_batch(b, mesh)
     else:
         mesh = None
-        step_fn = jax.jit(make_train_step(system, l1), donate_argnums=(0,))
+        from mmhand_tpu.utils.runtime import lazy_aot
+        step_fn = lazy_aot(jax.jit(make_train_step(system, l1),
+                                   donate_argnums=(0,)))
         place = lambda b: b
         if resume:
             state = ckpt.restore(state, cfg.run.which_epoch)

@@ -118,7 +118,25 @@ class MMHandSystem:
         """Initialize all network/optimizer/pool state.
 
         `local_batch_size` sizes the dummy init batch (shapes only).
-        """
+
+        On a non-CPU backend the whole init runs with the host CPU as
+        default device and the finished state is device_put to the
+        accelerator: flax init is eager, and through the axon TPU tunnel
+        each op dispatch is a network round-trip (~180 s measured for
+        this init; ~seconds on host + one bulk transfer)."""
+        import jax as _jax
+        try:
+            if _jax.default_backend() != "cpu":
+                cpu = _jax.devices("cpu")[0]
+                with _jax.default_device(cpu):
+                    state = self._init_state_impl(rng, local_batch_size)
+                return _jax.device_put(state, _jax.devices()[0])
+        except RuntimeError:
+            pass
+        return self._init_state_impl(rng, local_batch_size)
+
+    def _init_state_impl(self, rng, local_batch_size: Optional[int] = None
+                         ) -> MMHandTrainState:
         m = self.config.model
         size = m.fine_size
         b = local_batch_size or 1

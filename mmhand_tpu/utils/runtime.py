@@ -32,3 +32,44 @@ def setup_runtime(prng: bool = True, compile_cache: bool = True) -> None:
                     "jax_persistent_cache_min_compile_time_secs", 5.0)
             except Exception:
                 pass
+
+
+def lazy_aot(jitted):
+    """Wrap a jitted step so its one-time trace runs with a CPU default
+    device, then lower/compile for the args' real (TPU) devices.
+
+    Why: tracing executes every concrete-operand op eagerly on the
+    default device; through the axon TPU tunnel each such dispatch is a
+    network round-trip, which turns the flagship step's trace into
+    930-1100 s of mostly-sleep (measured r5).  Tracing with the host CPU
+    as default device cuts that to ~11 s (+ ~205 s of pure-CPU MLIR
+    lowering); XLA compilation still targets the devices the arguments
+    live on, and the executable is bit-identical modulo constants now
+    folded on host.  No-op on CPU backends (tests) and when the AOT API
+    is unavailable.
+
+    The wrapper re-traces if called with arguments whose shapes/dtypes no
+    longer match the compiled executable (jit semantics preserved)."""
+    import jax
+
+    cache: dict = {}
+
+    def call(*args):
+        if "c" not in cache:
+            try:
+                cpu = jax.devices("cpu")[0]
+                assert jax.default_backend() != "cpu"
+                with jax.default_device(cpu):
+                    traced = jitted.trace(*args)
+                cache["c"] = traced.lower().compile()
+            except Exception:
+                cache["c"] = jitted
+        try:
+            return cache["c"](*args)
+        except (TypeError, ValueError):
+            if cache["c"] is jitted:
+                raise
+            cache["c"] = jitted  # shape change: fall back to plain jit
+            return jitted(*args)
+
+    return call

@@ -85,7 +85,9 @@ def train_hpe(cfg: Config, max_steps=None, epochs=None, from_bin=None,
         step = make_sharded_hpe_train_step(system, mesh)
         place = lambda b: shard_batch(b, mesh)
     else:
-        step = jax.jit(make_hpe_train_step(system), donate_argnums=(0,))
+        from mmhand_tpu.utils.runtime import lazy_aot
+        step = lazy_aot(jax.jit(make_hpe_train_step(system),
+                                donate_argnums=(0,)))
         place = lambda b: b
     prepare = make_hpe_prepare_batch()
 

@@ -57,19 +57,26 @@ def main():
     ap.add_argument("--dir", default="/tmp/mmhand_longrun")
     ap.add_argument("--name", default="longrun")
     ap.add_argument("--items", type=int, default=64)
-    ap.add_argument("--kill_after_prints", type=int, default=40,
+    ap.add_argument("--kill_after_prints", type=int, default=45,
                     help="SIGKILL leg 1 once this many loss lines exist "
                          "(steps = this x print_freq); progress-based "
-                         "because trace+compile time dominates wall time "
-                         "on this host")
-    ap.add_argument("--t1_max", type=int, default=2700,
+                         "because trace/compile/save time dominates wall "
+                         "time on this host.  Default 45 = step 900, past "
+                         "the step-800 latest-save so leg 2 resumes from "
+                         "a checkpoint strictly older than the last "
+                         "logged losses")
+    ap.add_argument("--t1_max", type=int, default=3600,
                     help="hard ceiling (s) on leg 1 before giving up")
     ap.add_argument("--steps2", type=int, default=1000,
                     help="additional steps in the resumed leg")
     ap.add_argument("--padding_type", default="reflect",
                     choices=("reflect", "zero"))
     ap.add_argument("--print_freq", type=int, default=20)
-    ap.add_argument("--save_every", type=int, default=100)
+    # one 872 MB state save costs ~2 min through the tunnel's D2H
+    # (~7.6 MB/s measured); with 4-step epochs the reference's default
+    # save_epoch_freq=1 would spend 99% of the demo checkpointing, so the
+    # demo saves only on the save_latest cadence
+    ap.add_argument("--save_every", type=int, default=800)
     args = ap.parse_args()
 
     from bench import _ensure_e2e_tree  # noqa: E402 (repo root on path)
@@ -86,6 +93,7 @@ def main():
               "--display_id", "1", "--print_freq", str(args.print_freq),
               "--display_freq", "100000",
               "--save_latest_freq", str(args.save_every),
+              "--save_epoch_freq", "100000",
               "--seed", "49"]
     train = [sys.executable, str(REPO / "scripts" / "train.py")]
 
