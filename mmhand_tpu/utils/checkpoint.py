@@ -44,14 +44,28 @@ class CheckpointManager:
             return
         self._ckptr.save(path, jax.device_get(state), force=True)
 
-    def restore(self, template: Any, label: str = "latest") -> Any:
+    def restore(self, template: Any, label: str = "latest",
+                place: bool = False) -> Any:
         """Restore into the structure of `template`
-        (reference load_network base_model.py:60-80)."""
+        (reference load_network base_model.py:60-80).
+
+        `place=True` device_puts the restored tree onto the default device
+        in one bulk transfer.  Orbax returns HOST numpy arrays; an eval
+        loop that calls a jitted function with them re-uploads every leaf
+        on EVERY call (measured r5: 8.4 s/batch for the generator's eval
+        forward through the tunnel — 160x the compute).  Training loops
+        don't need it (the step donates + returns device state), and
+        multi-process restores must stay host-side for global reassembly
+        (train/loop.py), hence opt-in."""
         path = self._path(label)
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"no checkpoint labeled '{label}' under {self.root}")
-        return self._ckptr.restore(path, item=template)
+        restored = self._ckptr.restore(path, item=template)
+        if place:
+            restored = jax.device_put(restored, jax.devices()[0])
+            jax.block_until_ready(restored)
+        return restored
 
     def has(self, label: str = "latest") -> bool:
         return os.path.exists(self._path(label))

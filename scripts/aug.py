@@ -85,7 +85,7 @@ def generate(cfg: Config, dst: str, batch_size: int = 16,
         ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
         template = jax.eval_shape(
             lambda: system.init_state(jax.random.PRNGKey(0), 1))
-        state = ckpt.restore(template, cfg.run.which_epoch)
+        state = ckpt.restore(template, cfg.run.which_epoch, place=True)
         g_state = state.g
     else:
         g_state = state.g

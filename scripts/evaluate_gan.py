@@ -73,7 +73,7 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
         ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
         template = jax.eval_shape(
             lambda: system.init_state(jax.random.PRNGKey(0), 1))
-        state = ckpt.restore(template, cfg.run.which_epoch)
+        state = ckpt.restore(template, cfg.run.which_epoch, place=True)
     eval_step = make_eval_step(system)
 
     inception_vars = None
@@ -99,6 +99,15 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
                         max_items=cfg.data.max_dataset_size)
     prepare = make_prepare_batch(cfg.data.sigma)
 
+    import time
+    n_images = 0
+    first_n = first_t = None
+    t0 = time.perf_counter()
+    # phase 1: generate everything (one resident program); metric programs
+    # then each run back-to-back over the collected batches — rotating the
+    # 4+ executables per batch thrashes the tunnel backend's program
+    # residency (see Evaluator.feed_phased)
+    preds, gts, xyzs = [], [], []
     for raw in loader.epoch(0):
         batch = prepare({k: v for k, v in raw.items()
                          if not k.endswith("paths")})
@@ -111,9 +120,31 @@ def evaluate(cfg: Config, batch_size: int = 16, state=None,
             # skipped for them, like the reference's pose-map-only path.
             xyz = np.concatenate(
                 [raw["tgt_uv"], raw["tgt_z"][:, :, None]], axis=-1)
-        evaluator.feed(fakes, batch["H2"], gt_xyz=xyz)
+        preds.append(fakes)
+        gts.append(batch["H2"])
+        xyzs.append(xyz)
+        n_images += int(fakes.shape[0])
+        if first_t is None:  # first batch pays the G compile
+            first_n, first_t = n_images, time.perf_counter()
+    evaluator.feed_phased(preds, gts, xyzs)
 
-    return evaluator.evaluate()
+    if n_images == 0:
+        raise SystemExit(
+            "evaluate_gan: the dataset produced no eval pairs.  A dataroot "
+            "whose path lacks 'test' uses the generate-mode complement "
+            "split (reference generic_dataset.py:114-121): with "
+            "--augmentation_ratio 1.0 the complement is empty — pass a "
+            "ratio < 1, or point --dataroot at a *test* tree.")
+    t_end = time.perf_counter()
+    scores = evaluator.evaluate()
+    scores["images"] = n_images
+    scores["images_per_sec"] = (n_images / (t_end - t0)
+                                if t_end > t0 else 0.0)
+    if first_t is not None and n_images > first_n and t_end > first_t:
+        # steady-state rate: excludes the first batch's compile cost
+        scores["images_per_sec_steady"] = (
+            (n_images - first_n) / (t_end - first_t))
+    return scores
 
 
 if __name__ == "__main__":

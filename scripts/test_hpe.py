@@ -45,7 +45,7 @@ def main(argv=None):
         lambda: system.init_state(jax.random.PRNGKey(0),
                                   size=cfg.model.fine_size))
     ckpt = CheckpointManager(cfg.run.checkpoints_dir, cfg.run.name)
-    state = ckpt.restore(template, cfg.run.which_epoch)
+    state = ckpt.restore(template, cfg.run.which_epoch, place=True)
     dataset = HPEMixDataset(cfg, is_train=False)
 
     if args.model == "hpm3d":

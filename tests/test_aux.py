@@ -203,3 +203,29 @@ class TestLivePlot:
         vis2.plot_current_errors(1, 0.25, {"x": 1.0})
         assert os.path.exists(
             os.path.join(str(tmp_path), "exp", "web", "losses.html"))
+
+
+class TestLazyAOT:
+    """utils/runtime.lazy_aot: on the CPU test backend the host-trace path
+    is skipped (assert inside), so the wrapper must transparently fall back
+    to the plain jitted callable — results and shape-polymorphism (re-trace
+    on new shapes) preserved."""
+
+    def test_passthrough_and_shape_change(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mmhand_tpu.utils.runtime import lazy_aot
+
+        calls = []
+
+        @jax.jit
+        def f(x):
+            calls.append(1)  # traced once per shape
+            return x * 2.0 + 1.0
+
+        g = lazy_aot(f)
+        a = jnp.arange(4.0)
+        np.testing.assert_allclose(np.asarray(g(a)), np.asarray(f(a)))
+        b = jnp.arange(8.0)  # new shape: must re-trace, not crash
+        np.testing.assert_allclose(np.asarray(g(b)), np.asarray(b * 2 + 1))

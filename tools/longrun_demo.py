@@ -196,7 +196,8 @@ def _ssim_on_train_pairs(data, ckpt_dir, name, padding_type):
                  run=RunConfig(name=name, checkpoints_dir=ckpt_dir))
     system = MMHandSystem(cfg)
     state = system.init_state(jax.random.PRNGKey(0), local_batch_size=1)
-    state = CheckpointManager(ckpt_dir, name).restore(state, "latest")
+    state = CheckpointManager(ckpt_dir, name).restore(state, "latest",
+                                                  place=True)
     eval_step = make_eval_step(system)
     dataset = build_dataset(cfg)
     loader = HostLoader(dataset, 16, shuffle=False, drop_last=False)
