@@ -11,12 +11,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 
 @pytest.mark.parametrize("net", ["posenet", "handsegnet", "lifting"])
+@pytest.mark.slow
 def test_bench_hand3d_smoke(net):
     import bench_secondary
     rate = bench_secondary.bench_hand3d(net, size=32, batch=2, iters=2)
     assert rate > 0
 
 
+@pytest.mark.slow
 def test_bench_hpe_smoke():
     import bench_secondary
     rate = bench_secondary.bench_hpe(size=32, batch=2, iters=2)

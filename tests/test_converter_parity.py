@@ -77,6 +77,7 @@ def _stabilize_inception_(model, seed=0):
             m.bias.data = 0.01 * torch.randn(m.bias.shape, generator=g)
 
 
+@pytest.mark.slow
 class TestInceptionParity:
     @pytest.mark.slow
     def test_forward_matches_vendored_reference(self, tmp_path):

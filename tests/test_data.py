@@ -233,6 +233,7 @@ def _write_fake_mmhand(root, n=10, size=32):
     return os.path.join(root, "images"), os.path.join(root, "poses"), csv
 
 
+@pytest.mark.slow
 class TestMMHandWiring:
     """--dataset MMHand end-to-end (VERDICT r1 item 3; reference
     data/mmhand_dataset_data_loader.py:12-17 + data/mmhand_dataset.py)."""

@@ -119,6 +119,7 @@ class TestCPM:
         assert n == 52_259_816
 
 
+@pytest.mark.slow
 class TestEvaluatorE2E:
     @pytest.fixture(scope="class")
     def evaluator(self):

@@ -355,6 +355,7 @@ class TestHand3dPipeline:
         assert "image_crop" not in out
 
 
+@pytest.mark.slow
 class TestHand3dTraining:
     def test_staged_lr(self):
         import jax.numpy as jnp

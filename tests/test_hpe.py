@@ -94,6 +94,7 @@ class TestMixDataset:
         assert item["z"].max() <= 0.7 / 0.7 + 1e-6
 
 
+@pytest.mark.slow
 class TestHPETrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -211,6 +212,7 @@ print("HPE_DP_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 class TestHPEDataParallel:
     """Sharded HPE step (VERDICT r1 item 4): DP over the 8-device CPU mesh
     must match the single-device step on the same global batch.
@@ -300,6 +302,7 @@ def test_train_hpe_resume(tmp_path):
     assert np.isfinite(r2["mse"])
 
 
+@pytest.mark.slow
 class TestHPEVariants:
     """--model hpm2d / hpm3d single-net trainers (reference
     models/__init__.py:55-67 factory; hpm2d_model.py:25-112,

@@ -145,6 +145,7 @@ class TestUpConvDecomposition:
         assert y.shape == (1, 16, 16, 4)
 
 
+@pytest.mark.slow
 class TestFusedStems:
     """Generator(stem_fused=1) (ModelConfig.g_stem_fused): one
     block-diagonal 7x7 conv for the three stems — identical param tree and
@@ -195,6 +196,7 @@ class TestFusedStems:
                                        rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 class TestDStemGradSplit:
     """stem_grad_split: channel-block-decomposed 7x7 stem conv is
     bit-comparable in outputs and gradients to the fused stem."""

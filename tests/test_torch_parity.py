@@ -306,6 +306,7 @@ def _assert_trees_close(got, want, rtol, atol, what):
             rtol=rtol, atol=atol, err_msg=f"{what}{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 class TestTrainerUpdateParity:
     B, SIZE, NGF, BLOCKS = 2, 32, 8, 2
     LAM_GAN, LAM_A, LAM_B, LR, BETA1 = 5.0, 10.0, 10.0, 2e-4, 0.5

@@ -113,6 +113,7 @@ def _make(cfg, axis_name=None):
     return system, state, l1
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_step_runs_and_metrics_contract(self):
         cfg = _tiny_cfg()
@@ -155,6 +156,7 @@ class TestTrainStep:
         assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
 class TestShardedStep:
     def test_eight_way_dp_matches_contract(self):
         assert jax.device_count() == 8
@@ -312,6 +314,7 @@ class TestPoolVectorizedEquivalence:
         np.testing.assert_allclose(np.asarray(replayed), want_out, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestLossScaling:
     """PrecisionConfig.loss_scaling: the fp16-parity dynamic-scaling path
     (train/precision.py; reference models/MMHandModel.py:294-330 amp O1
