@@ -224,3 +224,44 @@ class TestWeightsProvenance:
         ev.feed(imgs, imgs)
         scores = ev.evaluate()
         assert scores["weights"] == "random:inception"
+
+
+class TestFeedPhasedEquivalence:
+    def test_phased_grouped_matches_streaming_feed(self):
+        """feed_phased (grouped metric execution, r5) must produce the
+        exact same scores as the streaming feed() over the same batches,
+        including a ragged tail batch."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            judge_a = HPEJudge.random_init(size=32)
+            ev_a = Evaluator(judge=judge_a)
+            judge_b = HPEJudge.random_init(size=32)
+            ev_b = Evaluator(judge=judge_b)
+
+        rng = np.random.RandomState(0)
+        sizes = [4, 4, 4, 4, 4, 2]  # 5 full batches + ragged tail
+        preds, gts, xyzs = [], [], []
+        for i, b in enumerate(sizes):
+            preds.append(jnp.asarray(
+                rng.uniform(-1, 1, (b, 32, 32, 3)).astype(np.float32)))
+            gts.append(jnp.asarray(
+                rng.uniform(-1, 1, (b, 32, 32, 3)).astype(np.float32)))
+            xyzs.append(rng.uniform(2, 30, (b, 21, 3)).astype(np.float32))
+
+        for p, g, x in zip(preds, gts, xyzs):
+            ev_a.feed(p, g, gt_xyz=x)
+        ev_b.feed_phased(preds, gts, xyzs, group=2)
+
+        sa, sb = ev_a.evaluate(), ev_b.evaluate()
+        assert set(sa) == set(sb)
+        for k in sa:
+            if isinstance(sa[k], str):
+                assert sa[k] == sb[k]
+            else:
+                np.testing.assert_allclose(sa[k], sb[k], rtol=1e-5,
+                                           atol=1e-6, err_msg=k)
